@@ -1,0 +1,519 @@
+"""NRRD reader/writer — the NrrdIO-equivalent loader.
+
+A from-scratch implementation of the NRRD file format covering everything
+the reference's vendored ``extern/NrrdIO`` C library provides to the app
+(``src/data/nrrd_file_parser.cpp:21-47`` uses ``nrrdLoad`` + type widening):
+
+  * magics NRRD0001..NRRD0005 (``extern/NrrdIO/formatNRRD.c:140-146``),
+  * the header field set of ``parseNrrd.c`` (enum ``NrrdIO.h:1216-1249``),
+  * attached and detached headers (``.nhdr`` + ``data file:`` with
+    header-relative paths, including LIST / sprintf-style multi-file forms),
+  * the 10 scalar types (``NrrdIO.h:955-970``) with all NrrdIO name aliases,
+  * raw / ascii / hex / gzip / bzip2 encodings (``NrrdIO.h:984-990``,
+    ``encoding*.c``),
+  * endianness conversion (``endianNrrd.c``),
+  * ``line skip`` / ``byte skip`` (including the tail-seek ``byte skip: -1``),
+  * key/value pairs and comments.
+
+Plus an NRRD *writer* (NrrdIO has one in ``write.c`` the app never calls)
+used for round-trip tests and checkpointing rendered/optimized grids.
+
+The bulk decode (byte-swap + widen to float32 + min/max scan) runs through
+the native C helper in ``data/_native.py`` when available, mirroring the
+reference's native decode path, with a NumPy fallback.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import os
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from volumetric_renderer_tpu.data.volume import Volume
+from volumetric_renderer_tpu.data import _native
+
+
+class NrrdError(RuntimeError):
+    pass
+
+
+# NRRD type names -> numpy dtype (NrrdIO enum NrrdIO.h:955-970 + the alias
+# table in parseNrrd.c / enumsNrrd.c)
+_TYPE_ALIASES = {
+    "signed char": "i1", "int8": "i1", "int8_t": "i1", "char": "i1",
+    "uchar": "u1", "unsigned char": "u1", "uint8": "u1", "uint8_t": "u1",
+    "short": "i2", "short int": "i2", "signed short": "i2",
+    "signed short int": "i2", "int16": "i2", "int16_t": "i2",
+    "ushort": "u2", "unsigned short": "u2", "unsigned short int": "u2",
+    "uint16": "u2", "uint16_t": "u2",
+    "int": "i4", "signed int": "i4", "int32": "i4", "int32_t": "i4",
+    "uint": "u4", "unsigned int": "u4", "uint32": "u4", "uint32_t": "u4",
+    "longlong": "i8", "long long": "i8", "long long int": "i8",
+    "signed long long": "i8", "signed long long int": "i8",
+    "int64": "i8", "int64_t": "i8",
+    "ulonglong": "u8", "unsigned long long": "u8",
+    "unsigned long long int": "u8", "uint64": "u8", "uint64_t": "u8",
+    "float": "f4", "double": "f8",
+}
+
+_CANONICAL_TYPE = {
+    "i1": "int8", "u1": "uint8", "i2": "int16", "u2": "uint16",
+    "i4": "int32", "u4": "uint32", "i8": "int64", "u8": "uint64",
+    "f4": "float", "f8": "double",
+}
+
+_ENCODINGS = {
+    "raw": "raw",
+    "txt": "ascii", "text": "ascii", "ascii": "ascii",
+    "hex": "hex",
+    "gz": "gzip", "gzip": "gzip",
+    "bz2": "bzip2", "bzip2": "bzip2",
+}
+
+
+@dataclass
+class NrrdHeader:
+    """Parsed header — the subset of ``Nrrd`` / ``NrrdAxisInfo`` state the
+    format can carry (``NrrdIO.h:1550-1669``)."""
+
+    dimension: int = 0
+    sizes: List[int] = field(default_factory=list)
+    dtype: np.dtype = np.dtype("u1")
+    type_name: str = "uint8"
+    encoding: str = "raw"
+    endian: Optional[str] = None
+    spacings: Optional[List[float]] = None
+    thicknesses: Optional[List[float]] = None
+    axis_mins: Optional[List[float]] = None
+    axis_maxs: Optional[List[float]] = None
+    centers: Optional[List[str]] = None
+    kinds: Optional[List[str]] = None
+    labels: Optional[List[str]] = None
+    units: Optional[List[str]] = None
+    space: Optional[str] = None
+    space_dimension: Optional[int] = None
+    space_directions: Optional[List[Optional[Tuple[float, ...]]]] = None
+    space_origin: Optional[Tuple[float, ...]] = None
+    space_units: Optional[List[str]] = None
+    measurement_frame: Optional[List[Tuple[float, ...]]] = None
+    content: Optional[str] = None
+    line_skip: int = 0
+    byte_skip: int = 0
+    data_files: Optional[List[str]] = None  # None = attached
+    keyvalue: Dict[str, str] = field(default_factory=dict)
+    comments: List[str] = field(default_factory=list)
+    block_size: Optional[int] = None
+    old_min: Optional[float] = None
+    old_max: Optional[float] = None
+
+    @property
+    def count(self) -> int:
+        n = 1
+        for s in self.sizes:
+            n *= s
+        return n
+
+
+def _parse_vector(s: str) -> Optional[Tuple[float, ...]]:
+    s = s.strip()
+    if s == "none":
+        return None
+    if not (s.startswith("(") and s.endswith(")")):
+        raise NrrdError(f"bad vector {s!r}")
+    return tuple(float(x) for x in s[1:-1].split(","))
+
+
+def _parse_list(s: str) -> List[str]:
+    return s.split()
+
+
+def _parse_quoted_list(s: str) -> List[str]:
+    # labels/units use "double quoted" strings
+    return re.findall(r'"([^"]*)"', s)
+
+
+_NAN_RE = re.compile(r"^(nan|-inf|\+?inf)$", re.I)
+
+
+def _parse_double(s: str) -> float:
+    return float(s)
+
+
+def parse_header_lines(lines: List[str]) -> NrrdHeader:
+    """Parse header lines (after the magic) into :class:`NrrdHeader`.
+
+    Field names are case-insensitive with spaces ignored per the NRRD spec
+    (NrrdIO: ``_nrrdReadNrrdParseField``)."""
+    h = NrrdHeader()
+    seen = set()
+    for raw_line in lines:
+        line = raw_line.rstrip("\r\n")
+        if not line:
+            break
+        if line.startswith("#"):
+            h.comments.append(line[1:].strip())
+            continue
+        if ":=" in line:
+            k, v = line.split(":=", 1)
+            h.keyvalue[k.strip()] = v.strip()
+            continue
+        if ": " not in line and not line.endswith(":"):
+            raise NrrdError(f"malformed header line {raw_line!r}")
+        k, v = line.split(":", 1)
+        ident = re.sub(r"\s+", "", k).lower()
+        v = v.strip()
+        seen.add(ident)
+
+        if ident == "dimension":
+            h.dimension = int(v)
+        elif ident == "sizes":
+            h.sizes = [int(x) for x in v.split()]
+        elif ident == "type":
+            tv = re.sub(r"\s+", " ", v).lower()
+            if tv == "block":
+                raise NrrdError("block type is not supported for volumes")
+            if tv not in _TYPE_ALIASES:
+                raise NrrdError(f"unknown type {v!r}")
+            code = _TYPE_ALIASES[tv]
+            h.dtype = np.dtype(code)
+            h.type_name = _CANONICAL_TYPE[code]
+        elif ident == "encoding":
+            ev = v.lower()
+            if ev not in _ENCODINGS:
+                raise NrrdError(f"unknown encoding {v!r}")
+            h.encoding = _ENCODINGS[ev]
+        elif ident == "endian":
+            if v.lower() not in ("little", "big"):
+                raise NrrdError(f"unknown endian {v!r}")
+            h.endian = v.lower()
+        elif ident == "spacings":
+            h.spacings = [_parse_double(x) for x in v.split()]
+        elif ident == "thicknesses":
+            h.thicknesses = [_parse_double(x) for x in v.split()]
+        elif ident in ("axismins", "axis mins".replace(" ", "")):
+            h.axis_mins = [_parse_double(x) for x in v.split()]
+        elif ident == "axismaxs":
+            h.axis_maxs = [_parse_double(x) for x in v.split()]
+        elif ident in ("centers", "centerings"):
+            h.centers = _parse_list(v)
+        elif ident == "kinds":
+            h.kinds = _parse_list(v)
+        elif ident == "labels":
+            h.labels = _parse_quoted_list(v)
+        elif ident == "units":
+            h.units = _parse_quoted_list(v)
+        elif ident == "space":
+            h.space = v
+        elif ident == "spacedimension":
+            h.space_dimension = int(v)
+        elif ident == "spacedirections":
+            h.space_directions = [
+                _parse_vector(tok)
+                for tok in re.findall(r"\([^)]*\)|none", v)
+            ]
+        elif ident == "spaceorigin":
+            h.space_origin = _parse_vector(v)
+        elif ident == "spaceunits":
+            h.space_units = _parse_quoted_list(v)
+        elif ident == "measurementframe":
+            h.measurement_frame = [
+                _parse_vector(tok) for tok in re.findall(r"\([^)]*\)", v)
+            ]
+        elif ident == "content":
+            h.content = v
+        elif ident in ("lineskip", "line skip".replace(" ", "")):
+            h.line_skip = int(v)
+        elif ident == "byteskip":
+            h.byte_skip = int(v)
+        elif ident in ("datafile", "data file".replace(" ", "")):
+            h.data_files = _parse_data_file(v)
+        elif ident == "blocksize":
+            h.block_size = int(v)
+        elif ident in ("min",):
+            pass  # deprecated informational fields
+        elif ident in ("max",):
+            pass
+        elif ident == "oldmin":
+            h.old_min = _parse_double(v)
+        elif ident == "oldmax":
+            h.old_max = _parse_double(v)
+        elif ident in ("sampleunits",):
+            pass
+        elif ident == "number":
+            pass  # deprecated, ignored by NrrdIO too
+        else:
+            raise NrrdError(f"unknown header field {k!r}")
+
+    if h.dimension == 0 or not h.sizes:
+        raise NrrdError("header missing dimension/sizes")
+    if len(h.sizes) != h.dimension:
+        raise NrrdError("sizes length != dimension")
+    if "type" not in seen:
+        raise NrrdError("header missing type")
+    if "encoding" not in seen:
+        raise NrrdError("header missing encoding")
+    if (
+        h.dtype.itemsize > 1
+        and h.encoding in ("raw", "gzip", "bzip2")
+        and h.endian is None
+    ):
+        raise NrrdError("endian required for multi-byte raw-ish encodings")
+    return h
+
+
+def _parse_data_file(v: str) -> List[str]:
+    """``data file:`` forms: single filename; ``<fmt> <min> <max> <step>
+    [<subdim>]`` sprintf-style; ``LIST [<subdim>]`` (filenames follow, one
+    per remaining header line — handled by the caller storing them)."""
+    parts = v.split()
+    if parts[0] == "LIST":
+        return ["LIST"]
+    if len(parts) >= 4 and "%" in parts[0]:
+        fmt, lo, hi, step = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+        if step == 0:
+            raise NrrdError("data file step must be nonzero")
+        idxs = range(lo, hi + (1 if step > 0 else -1), step)
+        return [fmt % i for i in idxs]
+    return [v]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _decode_payload(h: NrrdHeader, payload: bytes) -> np.ndarray:
+    """Decode the (already skip-adjusted) byte payload to a flat array of
+    ``h.dtype`` in *host* order, applying the declared encoding."""
+    count = h.count
+    if h.encoding == "ascii":
+        toks = payload.decode("ascii", errors="replace").split()
+        if len(toks) < count:
+            raise NrrdError(f"ascii data too short: {len(toks)} < {count}")
+        arr = np.array(toks[:count], dtype=np.float64)
+        if h.dtype.kind != "f":
+            arr = np.round(arr)
+        return arr.astype(h.dtype)
+    if h.encoding == "hex":
+        compact = re.sub(rb"\s+", b"", payload)
+        raw = bytes.fromhex(compact.decode("ascii"))
+        return _raw_to_array(h, raw)
+    if h.encoding == "gzip":
+        raw = zlib.decompress(payload, wbits=zlib.MAX_WBITS | 32)
+        return _raw_to_array(h, raw)
+    if h.encoding == "bzip2":
+        raw = bz2.decompress(payload)
+        return _raw_to_array(h, raw)
+    return _raw_to_array(h, payload)
+
+
+def _raw_to_array(h: NrrdHeader, raw: bytes) -> np.ndarray:
+    count = h.count
+    need = count * h.dtype.itemsize
+    if len(raw) < need:
+        raise NrrdError(f"data too short: {len(raw)} < {need} bytes")
+    dt = h.dtype
+    if dt.itemsize > 1 and h.endian is not None:
+        dt = dt.newbyteorder("<" if h.endian == "little" else ">")
+    return np.frombuffer(raw[:need], dtype=dt)
+
+
+def read_nrrd_header(path: str) -> Tuple[NrrdHeader, int]:
+    """Read just the header; returns (header, data_offset_in_file).
+
+    For detached headers the offset is meaningless (data lives elsewhere).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    return _parse_from_bytes(data, allow_detached=True)
+
+
+def _parse_from_bytes(data: bytes, allow_detached: bool) -> Tuple[NrrdHeader, int]:
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise NrrdError("no header")
+    magic = data[:nl].rstrip(b"\r").decode("ascii", errors="replace")
+    if not re.match(r"^NRRD000[1-5]$", magic):
+        raise NrrdError(f"bad magic {magic!r}")
+
+    # collect header lines until the blank line (or EOF for detached)
+    lines: List[str] = []
+    pos = nl + 1
+    while True:
+        nxt = data.find(b"\n", pos)
+        if nxt < 0:
+            line = data[pos:]
+            pos = len(data)
+        else:
+            line = data[pos:nxt]
+            pos = nxt + 1
+        text = line.rstrip(b"\r").decode("ascii", errors="replace")
+        if text == "":
+            break
+        lines.append(text)
+        if nxt < 0:
+            break
+
+    # LIST data files: remaining header lines after `data file: LIST` are
+    # filenames; split them out before field parsing.
+    list_files: List[str] = []
+    for i, ln in enumerate(lines):
+        ident = re.sub(r"\s+", "", ln.split(":", 1)[0]).lower() if ":" in ln else ""
+        if ident in ("datafile",) and ln.split(":", 1)[1].strip().split()[:1] == ["LIST"]:
+            list_files = lines[i + 1:]
+            lines = lines[: i + 1]
+            break
+
+    h = parse_header_lines(lines + [""])
+    if h.data_files == ["LIST"]:
+        h.data_files = [ln.strip() for ln in list_files if ln.strip()]
+        if not h.data_files:
+            raise NrrdError("data file: LIST with no filenames")
+    return h, pos
+
+
+def read_nrrd_raw(path: str) -> Tuple[NrrdHeader, np.ndarray]:
+    """Read an NRRD file to (header, array) without widening.
+
+    The array has shape ``sizes[::-1]`` (axis 0 of the NRRD is fastest, so
+    it lands last in the C-ordered numpy shape) and native dtype.
+    """
+    path = os.fspath(path)
+    with open(path, "rb") as f:
+        blob = f.read()
+    h, offset = _parse_from_bytes(blob, allow_detached=True)
+
+    if h.data_files is None:
+        payload = _apply_skips(h, blob[offset:], attached=True)
+        flat = _decode_payload(h, payload)
+    else:
+        base = os.path.dirname(os.path.abspath(path))
+        chunks = []
+        per_file = h.count // len(h.data_files)
+        for df in h.data_files:
+            dfp = df if os.path.isabs(df) else os.path.join(base, df)
+            with open(dfp, "rb") as f:
+                raw = f.read()
+            payload = _apply_skips(h, raw, attached=False)
+            sub = NrrdHeader(**{**h.__dict__,
+                               "sizes": [per_file], "dimension": 1,
+                               "data_files": None})
+            sub.dtype = h.dtype
+            chunks.append(_decode_payload(sub, payload))
+        flat = np.concatenate(chunks)
+        if flat.size != h.count:
+            raise NrrdError("multi-file data size mismatch")
+
+    return h, flat.reshape(tuple(reversed(h.sizes)))
+
+
+def _apply_skips(h: NrrdHeader, payload: bytes, attached: bool) -> bytes:
+    if h.line_skip > 0:
+        pos = 0
+        for _ in range(h.line_skip):
+            nxt = payload.find(b"\n", pos)
+            if nxt < 0:
+                raise NrrdError("line skip past EOF")
+            pos = nxt + 1
+        payload = payload[pos:]
+    if h.byte_skip > 0:
+        payload = payload[h.byte_skip:]
+    elif h.byte_skip == -1:
+        # raw only: seek so exactly count*itemsize bytes remain (read.c)
+        if h.encoding != "raw":
+            raise NrrdError("byte skip -1 requires raw encoding")
+        need = h.count * h.dtype.itemsize
+        payload = payload[len(payload) - need:]
+    return payload
+
+
+def read_nrrd(path: str) -> Volume:
+    """NRRD -> :class:`Volume`: requires dim == 3, widens to float32, scans
+    min/max — exactly ``NrrdFileParser::parse``
+    (``src/data/nrrd_file_parser.cpp:21-47``)."""
+    h, arr = read_nrrd_raw(path)
+    if h.dimension != 3:
+        raise NrrdError("Invalid file properties")  # importer.cpp wording
+    data, vmin, vmax = _native.widen_to_f32_minmax(arr)
+    return Volume(data=data.reshape(arr.shape), vmin=vmin, vmax=vmax)
+
+
+# -- writing ---------------------------------------------------------------
+
+
+def write_nrrd(
+    path: str,
+    arr: np.ndarray,
+    *,
+    encoding: str = "gzip",
+    detached: bool = False,
+    spacings: Optional[List[float]] = None,
+    content: Optional[str] = None,
+    keyvalue: Optional[Dict[str, str]] = None,
+) -> None:
+    """Write ``arr`` (shape (Z, Y, X) or any rank; axis order reversed into
+    NRRD fastest-first ``sizes``) as NRRD0005."""
+    path = os.fspath(path)
+    arr = np.ascontiguousarray(arr)
+    code = arr.dtype.str.lstrip("<>|=")
+    if code not in _CANONICAL_TYPE:
+        raise NrrdError(f"unsupported dtype {arr.dtype}")
+    tname = _CANONICAL_TYPE[code]
+    enc = _ENCODINGS.get(encoding)
+    if enc is None:
+        raise NrrdError(f"unknown encoding {encoding!r}")
+
+    lines = ["NRRD0005"]
+    if content:
+        lines.append(f"content: {content}")
+    lines.append(f"type: {tname}")
+    lines.append(f"dimension: {arr.ndim}")
+    lines.append("sizes: " + " ".join(str(s) for s in reversed(arr.shape)))
+    if spacings is not None:
+        lines.append("spacings: " + " ".join(repr(float(s)) for s in spacings))
+    lines.append(f"encoding: {enc if enc != 'ascii' else 'ascii'}")
+    if arr.dtype.itemsize > 1 and enc in ("raw", "gzip", "bzip2", "hex"):
+        lines.append("endian: little")
+        arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    for k, v in (keyvalue or {}).items():
+        lines.append(f"{k}:={v}")
+
+    if enc == "ascii":
+        body = " ".join(
+            repr(x) if arr.dtype.kind == "f" else str(x)
+            for x in arr.reshape(-1).tolist()
+        ).encode("ascii")
+    elif enc == "hex":
+        body = arr.tobytes().hex().encode("ascii")
+    elif enc == "gzip":
+        body = gzip.compress(arr.tobytes(), compresslevel=4)
+    elif enc == "bzip2":
+        body = bz2.compress(arr.tobytes())
+    else:
+        body = arr.tobytes()
+
+    if detached:
+        if not path.endswith(".nhdr"):
+            raise NrrdError("detached header path should end in .nhdr")
+        data_name = os.path.basename(path)[:-5] + _DETACHED_EXT[enc]
+        lines.append(f"data file: {data_name}")
+        header = ("\n".join(lines) + "\n").encode("ascii")
+        with open(path, "wb") as f:
+            f.write(header)
+        with open(os.path.join(os.path.dirname(os.path.abspath(path)), data_name), "wb") as f:
+            f.write(body)
+    else:
+        header = ("\n".join(lines) + "\n\n").encode("ascii")
+        with open(path, "wb") as f:
+            f.write(header + body)
+
+
+_DETACHED_EXT = {
+    "raw": ".raw", "ascii": ".txt", "hex": ".hex",
+    "gzip": ".raw.gz", "bzip2": ".raw.bz2",
+}

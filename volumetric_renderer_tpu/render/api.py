@@ -1,0 +1,144 @@
+"""Public render API.
+
+The functional equivalent of the reference's render loop
+(``OffscreenPass::record`` -> ``volume.frag``): one call renders one frame.
+The interactive mutation entry points (``volume_dataset_changed``,
+``transfer_function_changed``, ``slicing_changed``,
+``framebuffer_size_changed`` — ``src/rendering/offscreen_pass.h:46-54``)
+collapse into plain function arguments: pass a different volume / TF table /
+slicing window / ``RenderSettings`` and you have "mutated" the renderer.
+
+Methods:
+  * ``"oracle"`` — pure ``lax.scan`` marcher, plain autodiff.  Ground truth.
+  * ``"fused"``  — same math behind a custom VJP whose backward re-marches
+    (O(1) memory in step count).  Default for optimization.
+  * ``"pallas"`` — hand-written TPU kernel (``kernels/``), fastest path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from volumetric_renderer_tpu.core.fused import make_fused_marcher
+from volumetric_renderer_tpu.core.marcher import march_rays
+from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
+from volumetric_renderer_tpu.utils.config import RenderSettings
+
+
+def _prep(vol, camera, settings, density_min, density_max, slice_min, slice_max):
+    if density_min is None:
+        density_min = jnp.min(vol)
+    if density_max is None:
+        density_max = jnp.max(vol)
+    if slice_min is None:
+        slice_min = jnp.zeros(3, jnp.float32)
+    if slice_max is None:
+        slice_max = jnp.ones(3, jnp.float32)
+    origin_world, dirs = ray_grid(
+        camera, settings.height, settings.width,
+        settings.fov_y_degrees, settings.near, settings.far,
+    )
+    return (
+        origin_world + 0.5,  # world cube [-0.5,0.5]^3 -> texture space
+        dirs,
+        jnp.asarray(density_min, jnp.float32),
+        jnp.asarray(density_max, jnp.float32),
+        jnp.asarray(slice_min, jnp.float32),
+        jnp.asarray(slice_max, jnp.float32),
+    )
+
+
+def render(
+    vol: jnp.ndarray,
+    tf_table: jnp.ndarray,
+    camera: OrbitCamera,
+    settings: RenderSettings = RenderSettings(),
+    *,
+    density_min=None,
+    density_max=None,
+    slice_min=None,
+    slice_max=None,
+    method: str = "fused",
+) -> jnp.ndarray:
+    """Render one ``(H, W, 4)`` RGBA frame.
+
+    ``vol``: float32 ``(Z, Y, X)`` density grid.  ``tf_table``: float32
+    ``(N, 4)`` RGBA transfer function (see ``transfer``).  RGB is the
+    front-to-back accumulation, alpha is opacity; composite over a
+    background with :func:`composite_over`.
+    """
+    origin, dirs, dmin, dmax, smin, smax = _prep(
+        vol, camera, settings, density_min, density_max, slice_min, slice_max
+    )
+    if method == "oracle":
+        return march_rays(
+            vol, tf_table, origin, dirs,
+            density_min=dmin, density_max=dmax,
+            slice_min=smin, slice_max=smax,
+            num_steps=settings.num_steps, step_size=settings.step_size,
+            early_termination=settings.early_termination,
+            termination_eps=settings.termination_eps,
+        )
+    if method == "fused":
+        marcher = make_fused_marcher(
+            settings.num_steps, settings.step_size,
+            settings.early_termination, settings.termination_eps,
+        )
+        return marcher(vol, tf_table, origin, dirs, dmin, dmax, smin, smax)
+    if method == "pallas":
+        from volumetric_renderer_tpu.kernels.raymarch_pallas import march_rays_pallas
+
+        return march_rays_pallas(
+            vol, tf_table, origin, dirs,
+            density_min=dmin, density_max=dmax,
+            slice_min=smin, slice_max=smax,
+            num_steps=settings.num_steps, step_size=settings.step_size,
+            early_termination=settings.early_termination,
+            termination_eps=settings.termination_eps,
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+def composite_over(rgba: jnp.ndarray, background, reference_blend: bool = False):
+    """Composite a rendered frame over an RGB background.
+
+    The renderer's RGB output is premultiplied-by-construction (each sample
+    adds ``T * a * c``), so the correct operator is
+    ``rgb + bg * (1 - alpha)``.  The reference instead configures standard
+    (non-premultiplied) alpha blending over its 0.11-gray clear color
+    (``offscreen_pass.cpp:171``, blend state ``offscreen_pass.cpp:715-726``),
+    i.e. ``rgb * alpha + bg * (1 - alpha)`` — double-weighting the volume
+    color by alpha.  Pass ``reference_blend=True`` to reproduce that quirk.
+    """
+    bg = jnp.asarray(background, jnp.float32)
+    a = rgba[..., 3:4]
+    if reference_blend:
+        return rgba[..., :3] * a + bg * (1.0 - a)
+    return rgba[..., :3] + bg * (1.0 - a)
+
+
+def render_loss_and_grads(
+    vol, tf_table, camera, target,
+    settings: RenderSettings = RenderSettings(),
+    *,
+    loss: str = "l2",
+    method: str = "fused",
+    **kw,
+):
+    """Convenience: pixel loss against ``target`` plus grads w.r.t.
+    ``(vol, tf_table)``.  Used by the TF-fit and grid-inversion apps."""
+    import jax
+
+    def loss_fn(v, tf):
+        img = render(v, tf, camera, settings, method=method, **kw)
+        diff = img[..., :3] - target[..., :3]
+        if loss == "l2":
+            return 0.5 * jnp.mean(diff * diff)
+        if loss == "l1":
+            return jnp.mean(jnp.abs(diff))
+        raise ValueError(f"unknown loss {loss!r}")
+
+    (value, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(vol, tf_table)
+    return value, grads
