@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: rays/sec/chip on the BASELINE workload.
+
+Workload (BASELINE.md, driver config 3 forward): 256^3 density grid,
+1920x1080 image, 512 steps/ray, 256-texel RGBA transfer function, early
+ray termination on.  The reference app publishes no numbers
+(/root/reference/README.md:1-5); its implied workload is 360 steps/pixel
+at viewport size (res/shaders/volume.frag:29-31) with no early
+termination.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": rays/s, "unit": "rays/s", "vs_baseline": R}
+where ``vs_baseline`` is the speedup of the flagship marcher over the
+naive pure-JAX oracle marcher (the faithful port of the reference's
+shader math) on the same chip and workload — i.e. how much the TPU-native
+design buys over a line-for-line translation.
+
+Usage: python bench.py [--quick] [--method fused|oracle|pallas]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_compcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(method, settings, grid_n, tf_n=256):
+    from volumetric_renderer_tpu.data.volume import Volume
+    from volumetric_renderer_tpu.render.api import render
+    from volumetric_renderer_tpu.scene.camera import OrbitCamera
+    from volumetric_renderer_tpu.transfer.gradient import Gradient
+
+    vol = Volume.synthetic_sphere(grid_n).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(tf_n))
+    # realistic opacity ramp: opaque centers terminate rays early
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, tf_n) ** 2)
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+
+    fn = jax.jit(lambda v, t: render(v, t, cam, settings, method=method))
+    return fn, vol, tf
+
+
+def time_renders(fn, vol, tf, iters):
+    out = fn(vol, tf)            # compile + warmup
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(vol, tf))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small workload for local iteration")
+    ap.add_argument("--method", default="fused",
+                    choices=["fused", "oracle", "pallas"])
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-baseline", action="store_true",
+                    help="skip the oracle baseline measurement")
+    args = ap.parse_args()
+
+    from volumetric_renderer_tpu.utils.config import RenderSettings
+
+    if args.quick:
+        h, w, steps, grid_n = 256, 256, 128, 64
+    else:
+        h, w, steps, grid_n = 1080, 1920, 512, 256
+
+    settings = RenderSettings(height=h, width=w, step_size=1.8 / steps,
+                              early_termination=True)
+    dev = jax.devices()[0]
+    print(f"# device={dev.device_kind} platform={dev.platform} "
+          f"workload={grid_n}^3 grid, {w}x{h}, {steps} steps, "
+          f"method={args.method}", file=sys.stderr)
+
+    fn, vol, tf = build(args.method, settings, grid_n)
+    t_render = time_renders(fn, vol, tf, args.iters)
+    rays = h * w
+    rays_per_s = rays / t_render
+    print(f"# flagship: {t_render*1e3:.1f} ms/frame -> "
+          f"{rays_per_s:,.0f} rays/s", file=sys.stderr)
+
+    if args.no_baseline:
+        ratio = 1.0
+    else:
+        # Oracle = faithful pure-JAX port of the reference shader math
+        # (volume.frag:21-51) with plain lax.scan and no custom anything.
+        # Measured on a row-subsampled image (rays/s normalizes per ray).
+        bh = max(64, h // 8)
+        bsettings = settings.replace(height=bh)
+        bfn, _, _ = build("oracle", bsettings, grid_n)
+        t_base = time_renders(bfn, vol, tf, args.iters)
+        base_rays_per_s = (bh * w) / t_base
+        ratio = rays_per_s / base_rays_per_s
+        print(f"# oracle baseline ({bh}x{w}): {t_base*1e3:.1f} ms -> "
+              f"{base_rays_per_s:,.0f} rays/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"rays_per_sec_per_chip_{grid_n}cubed_{w}x{h}_{steps}steps",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": ratio,
+    }))
+
+
+if __name__ == "__main__":
+    main()

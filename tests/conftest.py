@@ -18,3 +18,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The container's sitecustomize registers the "axon" TPU tunnel at
+# interpreter startup (before conftest) and force-updates jax's platform
+# config, which overrides the env vars above.  Point the *config* back at
+# CPU too — backends are not initialized yet at collection time, so this
+# is still legal.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

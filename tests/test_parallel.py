@@ -1,0 +1,135 @@
+"""Sharded (shard_map over a device mesh) vs single-device rendering.
+
+The reference's only parallelism is the GPU rasterizer marching every
+fragment independently (``res/shaders/volume.frag:21-51``, SURVEY.md
+§2.4); here the equivalent axis — pixel rows — is sharded over a
+``jax.sharding.Mesh``.  Correctness claim: the sharded renderer and its
+gradients (grid/TF psum'd inside the custom-VJP bwd) are bitwise-close to
+the unsharded fused path on the same inputs.  Runs on 8 virtual CPU
+devices (conftest sets ``xla_force_host_platform_device_count``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from volumetric_renderer_tpu.core.fused import make_fused_marcher
+from volumetric_renderer_tpu.data.volume import Volume
+from volumetric_renderer_tpu.parallel.mesh import make_mesh
+from volumetric_renderer_tpu.parallel.render import make_sharded_renderer
+from volumetric_renderer_tpu.parallel.train import init_state, make_train_step
+from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
+from volumetric_renderer_tpu.transfer.gradient import Gradient
+from volumetric_renderer_tpu.utils.config import RenderSettings
+
+
+SETTINGS = RenderSettings(height=24, width=16, step_size=0.05,
+                          early_termination=False)
+
+
+def scene(n=12, tf_n=32):
+    vol = Volume.synthetic_sphere(n).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(tf_n))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 0.6, tf_n))
+    cam = OrbitCamera.from_angles(yaw_deg=33.0, pitch_deg=21.0)
+    fixed = dict(dmin=jnp.float32(0.0), dmax=jnp.float32(1.0),
+                 smin=jnp.zeros(3), smax=jnp.ones(3))
+    return vol, tf, cam, fixed
+
+
+def unsharded_render(vol, tf, cam, fixed, settings=SETTINGS):
+    marcher = make_fused_marcher(settings.num_steps, settings.step_size,
+                                 settings.early_termination,
+                                 settings.termination_eps)
+    origin, dirs = ray_grid(cam, settings.height, settings.width,
+                            settings.fov_y_degrees, settings.near,
+                            settings.far)
+    return marcher(vol, tf, origin + 0.5, dirs, fixed["dmin"], fixed["dmax"],
+                   fixed["smin"], fixed["smax"])
+
+
+@pytest.mark.parametrize("mesh_spec", [
+    ((8,), None),                          # 1D: 8 chips on "tiles"
+    ((2, 4), ("hosts", "tiles")),          # 2D: 2 hosts x 4 chips
+])
+def test_sharded_forward_matches_unsharded(mesh_spec):
+    shape, axis_names = mesh_spec
+    mesh = make_mesh(jax.devices()[:8], shape=shape, axis_names=axis_names)
+    vol, tf, cam, fixed = scene()
+    want = unsharded_render(vol, tf, cam, fixed)
+    render_fn = make_sharded_renderer(mesh, SETTINGS)
+    got = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                    fixed["smin"], fixed["smax"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sharded_rows_not_divisible():
+    # 24 rows over a 7-device mesh: pad_rows kicks in, padded rays dropped.
+    mesh = make_mesh(jax.devices()[:7])
+    vol, tf, cam, fixed = scene()
+    want = unsharded_render(vol, tf, cam, fixed)
+    render_fn = make_sharded_renderer(mesh, SETTINGS)
+    got = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                    fixed["smin"], fixed["smax"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sharded_grads_match_unsharded():
+    """Grid/TF gradients psum'd in the custom-VJP bwd == unsharded grads."""
+    mesh = make_mesh(jax.devices()[:8])
+    vol, tf, cam, fixed = scene()
+    render_fn = make_sharded_renderer(mesh, SETTINGS)
+
+    def loss_sharded(vol, tf):
+        img = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                        fixed["smin"], fixed["smax"])
+        return jnp.sum(jnp.sin(3.0 * img))   # nonuniform cotangents
+
+    def loss_unsharded(vol, tf):
+        img = unsharded_render(vol, tf, cam, fixed)
+        return jnp.sum(jnp.sin(3.0 * img))
+
+    gv_s, gt_s = jax.grad(loss_sharded, argnums=(0, 1))(vol, tf)
+    gv_u, gt_u = jax.grad(loss_unsharded, argnums=(0, 1))(vol, tf)
+    # Tolerance is scale-aware: the sharded jit compiles ray generation
+    # differently than the eager reference (reassociated f32), which the
+    # sharp density edge amplifies ~1e-4 relative — measured against a
+    # float64 oracle both paths are well inside the BASELINE 1e-4 bound.
+    for s, u in ((gv_s, gv_u), (gt_s, gt_u)):
+        s, u = np.asarray(s), np.asarray(u)
+        np.testing.assert_allclose(s, u, rtol=0,
+                                   atol=2e-4 * np.abs(u).max())
+
+
+def test_train_step_decreases_loss():
+    """Toy grid inversion (BASELINE config 4 shape): loss drops."""
+    mesh = make_mesh(jax.devices()[:8])
+    settings = RenderSettings(height=16, width=16, step_size=0.1,
+                              early_termination=False)
+    vol_gt, tf, _, fixed_win = scene(n=8)
+    fixed = dict(vol=vol_gt, tf=tf, **fixed_win)
+
+    cams = [OrbitCamera.from_angles(yaw_deg=a, pitch_deg=15.0)
+            for a in (0.0, 90.0)]
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    render_fn = make_sharded_renderer(mesh, settings)
+    targets = jnp.stack([
+        render_fn(vol_gt, tf, c, fixed["dmin"], fixed["dmax"],
+                  fixed["smin"], fixed["smax"]) for c in cams])
+
+    optimizer = optax.adam(5e-2)
+    step_fn = make_train_step(mesh, settings, optimizer,
+                              optimize_vol=True, optimize_tf=False)
+    # zeros would start in the TF clamp zone (t=0 maps below texel 0's
+    # center: lo == hi, zero slope — the sampler's CLAMP_TO_EDGE semantics),
+    # where grid gradients are identically zero; start mid-window instead.
+    state = init_state(optimizer, dict(vol=jnp.full_like(vol_gt, 0.3)))
+    losses = []
+    for _ in range(10):
+        state, loss = step_fn(state, fixed, cameras, targets)
+        losses.append(float(loss))
+    assert losses[-1] < 0.3 * losses[0], losses
+    assert int(state.step) == 10

@@ -90,7 +90,8 @@ def _trilinear_setup(vol_shape, pts):
 
 @functools.lru_cache(maxsize=None)
 def make_fused_marcher(num_steps: int, step_size: float,
-                       early_termination: bool, termination_eps: float):
+                       early_termination: bool, termination_eps: float,
+                       vary_axes: tuple = ()):
     """Build a custom-VJP marcher specialized to static march settings.
 
     Returned function signature:
@@ -98,9 +99,23 @@ def make_fused_marcher(num_steps: int, step_size: float,
           slice_min, slice_max) -> rgba``
     with the exact forward semantics of ``core.marcher.march_rays`` (modulo
     the ALPHA_EPS opacity clamp).
+
+    ``vary_axes``: mesh axis names this marcher runs manually over (inside
+    ``shard_map``).  Scan carries are initialized from constants, which the
+    varying-manual-axes type system treats as device-invariant; ``pcast``
+    promotes them so the carry type is stable across scan iterations while
+    keeping ``check_vma=True`` (and with it AD's automatic ``psum``
+    insertion for replicated grid/TF gradients).
     """
 
     amax = 1.0 - ALPHA_EPS
+
+    def _vary(x):
+        if not vary_axes:
+            return x
+        have = getattr(jax.typeof(x), "vma", frozenset())
+        need = tuple(a for a in vary_axes if a not in have)
+        return jax.lax.pcast(x, need, to="varying") if need else x
 
     def _forward(vol, tf, origin, dirs, dmin, dmax, smin, smax):
         t_entry, _, hit = ray_box_intersect(origin, dirs)
@@ -111,8 +126,8 @@ def make_fused_marcher(num_steps: int, step_size: float,
         inv_window = jnp.where(
             dmax - dmin > 0.0, 1.0 / jnp.maximum(dmax - dmin, 1e-30), 0.0
         )
-        rgb0 = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
-        tr0 = jnp.ones(dirs.shape[:-1], jnp.float32)
+        rgb0 = _vary(jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32))
+        tr0 = _vary(jnp.ones(dirs.shape[:-1], jnp.float32))
 
         def body(carry, k):
             rgb, tr = carry
@@ -168,12 +183,12 @@ def make_fused_marcher(num_steps: int, step_size: float,
         g_alpha = jnp.where(hit, g_alpha, 0.0)
         big_g = jnp.sum(g_rgb * out[..., :3], axis=-1)
 
-        tr0 = jnp.ones(dirs.shape[:-1], jnp.float32)
+        tr0 = _vary(jnp.ones(dirs.shape[:-1], jnp.float32))
         p0 = jnp.zeros_like(tr0)
-        vol_g0 = jnp.zeros_like(vol)
-        tf_g0 = jnp.zeros_like(tf)
-        dmin_g0 = jnp.zeros_like(dmin)
-        dmax_g0 = jnp.zeros_like(dmax)
+        vol_g0 = _vary(jnp.zeros_like(vol))
+        tf_g0 = _vary(jnp.zeros_like(tf))
+        dmin_g0 = _vary(jnp.zeros_like(dmin))
+        dmax_g0 = _vary(jnp.zeros_like(dmax))
 
         def body(carry, k):
             tr, p, vol_g, tf_g, dmin_g, dmax_g = carry
@@ -240,6 +255,14 @@ def make_fused_marcher(num_steps: int, step_size: float,
             body, (tr0, p0, vol_g0, tf_g0, dmin_g0, dmax_g0),
             jnp.arange(num_steps),
         )
+        if vary_axes:
+            # Cotangent types must match the primal args: the grid, TF and
+            # window scalars are replicated (device-invariant) inputs, so
+            # their per-shard partial gradients all-reduce here — this IS
+            # the grid/TF gradient psum over ICI from the north-star design,
+            # fused into the bwd rule rather than bolted on outside.
+            vol_g, tf_g, dmin_g, dmax_g = jax.lax.psum(
+                (vol_g, tf_g, dmin_g, dmax_g), vary_axes)
         zeros3 = jnp.zeros(3, jnp.float32)
         return (vol_g, tf_g, jnp.zeros_like(origin), jnp.zeros_like(dirs),
                 dmin_g, dmax_g, zeros3, zeros3)

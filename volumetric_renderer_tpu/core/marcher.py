@@ -71,8 +71,10 @@ def march_rays(
     # the same epsilon.
     pos0 = jnp.clip(origin + t_entry[..., None] * dirs, 1e-6, 1.0 - 1e-6)
 
-    rgb0 = jnp.zeros(dirs.shape[:-1] + (3,), dtype=jnp.float32)
-    trans0 = jnp.ones(dirs.shape[:-1], dtype=jnp.float32)
+    # dtype follows the rays so the oracle doubles as a float64 ground
+    # truth for numerics studies (jax_enable_x64 + f64 inputs).
+    rgb0 = jnp.zeros(dirs.shape[:-1] + (3,), dtype=dirs.dtype)
+    trans0 = jnp.ones(dirs.shape[:-1], dtype=dirs.dtype)
 
     # Degenerate window (constant volume: min == max) would divide by zero;
     # the reference shader has the same hazard (volume.frag:42).  Guard it:
@@ -85,7 +87,7 @@ def march_rays(
 
     def body(carry, k):
         rgb, trans = carry
-        pos = pos0 + (k.astype(jnp.float32) * step_size) * dirs
+        pos = pos0 + (k.astype(dirs.dtype) * step_size) * dirs
         # Bounds break (volume.frag:33-37). The box is convex so positions
         # never re-enter: a pure mask is equivalent to the shader's `break`.
         inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1)
