@@ -1,0 +1,125 @@
+"""Smoke tests for the apps layer + checkpoint/metrics utilities."""
+
+import json
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from volumetric_renderer_tpu.utils.checkpoint import (
+    latest_checkpoint, load_checkpoint, save_checkpoint,
+)
+from volumetric_renderer_tpu.utils.metrics import PhaseTimers, ThroughputMeter
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"vol": jnp.arange(12.0).reshape(3, 4),
+             "opt": (jnp.zeros(3), jnp.int32(7))}
+    p = save_checkpoint(str(tmp_path / "ckpt_10.npz"), state, step=10)
+    loaded, step = load_checkpoint(p, state)
+    assert step == 10
+    np.testing.assert_array_equal(np.asarray(loaded["vol"]),
+                                  np.asarray(state["vol"]))
+    np.testing.assert_array_equal(np.asarray(loaded["opt"][0]),
+                                  np.asarray(state["opt"][0]))
+
+
+def test_checkpoint_structure_mismatch(tmp_path):
+    p = save_checkpoint(str(tmp_path / "c.npz"), {"a": jnp.zeros(2)})
+    with pytest.raises(ValueError):
+        load_checkpoint(p, {"a": jnp.zeros(2), "b": jnp.zeros(2)})
+
+
+def test_latest_checkpoint(tmp_path):
+    for s in (5, 20, 10):
+        save_checkpoint(str(tmp_path / f"ckpt_{s}.npz"), {"x": jnp.zeros(1)})
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_20.npz")
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(window=3)
+    assert m.rate is None
+    m.tick(0)
+    for _ in range(4):
+        m.tick(100)
+    assert m.rate > 0
+
+
+def test_phase_timers():
+    t = PhaseTimers()
+    with t.phase("render"):
+        pass
+    with t.phase("render"):
+        pass
+    rep = t.report()
+    assert rep["render"]["count"] == 2
+
+
+def test_render_cli_synthetic(tmp_path):
+    from volumetric_renderer_tpu.apps.render_cli import main
+    out = str(tmp_path / "r.png")
+    npy = str(tmp_path / "r.npy")
+    main(["x", "--synthetic", "--size", "48x32", "--steps", "24",
+          "--out", out, "--npy", npy, "--yaw", "30", "--pitch", "20",
+          "--slice-x", "0.1:0.9", "--tf", "preset:ramp"])
+    assert os.path.exists(out)
+    img = np.load(npy)
+    assert img.shape == (32, 48, 4)
+    assert img[..., 3].max() > 0.05
+
+
+def test_render_cli_tf_json(tmp_path):
+    from volumetric_renderer_tpu.apps.render_cli import main
+    tf_file = tmp_path / "tf.json"
+    tf_file.write_text(json.dumps({
+        "color_markers": [[0.0, 0.0, 0.0, 1.0], [1.0, 1.0, 0.5, 0.0]],
+        "alpha_markers": [[0.0, 0.0], [1.0, 0.9]],
+    }))
+    out = str(tmp_path / "r.png")
+    main(["x", "--synthetic", "--size", "32x32", "--steps", "16",
+          "--tf", str(tf_file), "--out", out])
+    assert os.path.exists(out)
+
+
+def test_turntable_gif(tmp_path):
+    from volumetric_renderer_tpu.apps.turntable import main
+    out = str(tmp_path / "o.gif")
+    main(["--synthetic", "--frames", "3", "--size", "32x32",
+          "--steps", "16", "--out", out])
+    assert os.path.exists(out)
+
+
+def test_optimize_invert_smoke(tmp_path):
+    from volumetric_renderer_tpu.apps.optimize import main
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "vol.npy")
+    main(["invert", "--grid", "8", "--size", "24x24", "--march-steps", "12",
+          "--views", "2", "--steps-opt", "6", "--ckpt-dir", ck,
+          "--ckpt-every", "5", "--out", out])
+    assert os.path.exists(out)
+    assert latest_checkpoint(ck) is not None
+    # resume continues from the checkpoint without error
+    main(["invert", "--grid", "8", "--size", "24x24", "--march-steps", "12",
+          "--views", "2", "--steps-opt", "8", "--ckpt-dir", ck,
+          "--resume", "--out", out])
+
+
+def test_optimize_tf_fit_smoke(tmp_path):
+    from volumetric_renderer_tpu.apps.optimize import main
+    out = str(tmp_path / "tf.npy")
+    main(["tf-fit", "--grid", "8", "--size", "24x24", "--march-steps", "12",
+          "--views", "2", "--steps-opt", "4", "--tf-resolution", "32",
+          "--out", out])
+    assert np.load(out).shape == (32, 4)
+
+
+def test_benchmark_harness(capsys):
+    from volumetric_renderer_tpu.apps.benchmark import main
+    main(["--size", "32x32", "--steps", "12", "--grid", "8", "--iters", "1"])
+    data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert data["scaling"][0]["devices"] == 1
+    assert data["scaling"][-1]["efficiency"] > 0
