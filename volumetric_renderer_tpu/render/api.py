@@ -12,7 +12,10 @@ Methods:
   * ``"oracle"`` — pure ``lax.scan`` marcher, plain autodiff.  Ground truth.
   * ``"fused"``  — same math behind a custom VJP whose backward re-marches
     (O(1) memory in step count).  Default for optimization.
-  * ``"pallas"`` — hand-written TPU kernel (``kernels/``), fastest path.
+  * ``"blocked"`` — fused math with per-row-block adaptive trip counts
+    (``while_loop``): background blocks skip the march entirely, saturated
+    blocks stop early.  Fastest XLA path for rendering.
+  * ``"pallas"`` — hand-written TPU kernel (``kernels/``).
 """
 
 from __future__ import annotations
@@ -87,17 +90,24 @@ def render(
             settings.early_termination, settings.termination_eps,
         )
         return marcher(vol, tf_table, origin, dirs, dmin, dmax, smin, smax)
-    if method == "pallas":
-        from volumetric_renderer_tpu.kernels.raymarch_pallas import march_rays_pallas
+    if method == "blocked":
+        from volumetric_renderer_tpu.core.blocked import make_blocked_marcher
 
-        return march_rays_pallas(
-            vol, tf_table, origin, dirs,
-            density_min=dmin, density_max=dmax,
-            slice_min=smin, slice_max=smax,
-            num_steps=settings.num_steps, step_size=settings.step_size,
-            early_termination=settings.early_termination,
-            termination_eps=settings.termination_eps,
+        marcher = make_blocked_marcher(
+            settings.num_steps, settings.step_size,
+            settings.early_termination, settings.termination_eps,
         )
+        return marcher(vol, tf_table, origin, dirs, dmin, dmax, smin, smax)
+    if method == "pallas":
+        from volumetric_renderer_tpu.kernels.raymarch_pallas import (
+            make_pallas_marcher,
+        )
+
+        marcher = make_pallas_marcher(
+            settings.num_steps, settings.step_size,
+            settings.early_termination, settings.termination_eps,
+        )
+        return marcher(vol, tf_table, origin, dirs, dmin, dmax, smin, smax)
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -117,6 +127,20 @@ def composite_over(rgba: jnp.ndarray, background, reference_blend: bool = False)
     if reference_blend:
         return rgba[..., :3] * a + bg * (1.0 - a)
     return rgba[..., :3] + bg * (1.0 - a)
+
+
+def adjust_display(rgb: jnp.ndarray, brightness: float = 0.0,
+                   contrast: float = 0.0):
+    """Display-space brightness/contrast post-process.
+
+    The reference shows Brightness/Contrast sliders in its Display panel
+    but never pushes them to the renderer — they are UI-only dead state
+    (static locals, ``src/ui/main_window.cpp:191-205``).  Here they work:
+    ``out = (rgb - 0.5) * (1 + contrast) + 0.5 + brightness``, clipped to
+    [0, 1], applied after :func:`composite_over`.
+    """
+    out = (rgb - 0.5) * (1.0 + contrast) + 0.5 + brightness
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def render_loss_and_grads(
