@@ -65,6 +65,17 @@ def test_sharded_forward_matches_unsharded(mesh_spec):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_sharded_blocked_matches_unsharded():
+    """blocked marcher under shard_map: divergent per-shard while_loops."""
+    mesh = make_mesh(jax.devices()[:8])
+    vol, tf, cam, fixed = scene()
+    want = unsharded_render(vol, tf, cam, fixed)
+    render_fn = make_sharded_renderer(mesh, SETTINGS, method="blocked")
+    got = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                    fixed["smin"], fixed["smax"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_sharded_rows_not_divisible():
     # 24 rows over a 7-device mesh: pad_rows kicks in, padded rays dropped.
     mesh = make_mesh(jax.devices()[:7])

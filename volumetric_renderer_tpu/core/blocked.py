@@ -40,9 +40,17 @@ from volumetric_renderer_tpu.core.sampling import ray_box_intersect
 
 
 def _march_block(vol, tf, origin, dirs, dmin, dmax, smin, smax, *,
-                 num_steps, step_size, early_termination, termination_eps):
+                 num_steps, step_size, early_termination, termination_eps,
+                 vary_axes=()):
     """While-loop march of one ray block; math mirrors fused._forward."""
     amax = 1.0 - ALPHA_EPS
+
+    def _vary(x):
+        if not vary_axes:
+            return x
+        have = getattr(jax.typeof(x), "vma", frozenset())
+        need = tuple(a for a in vary_axes if a not in have)
+        return jax.lax.pcast(x, need, to="varying") if need else x
     t_entry, t_exit, hit = ray_box_intersect(origin, dirs)
     pos0 = jnp.clip(origin + t_entry[..., None] * dirs, 1e-6, 1.0 - 1e-6)
     inv_window = jnp.where(
@@ -111,9 +119,10 @@ def _march_block(vol, tf, origin, dirs, dmin, dmax, smin, smax, *,
                                   & (k.astype(jnp.float32) < k_exit))
         return live
 
-    rgb0 = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
-    tr0 = jnp.ones(dirs.shape[:-1], jnp.float32)
-    _, rgb, tr = jax.lax.while_loop(cond, body, (jnp.int32(0), rgb0, tr0))
+    rgb0 = _vary(jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32))
+    tr0 = _vary(jnp.ones(dirs.shape[:-1], jnp.float32))
+    k0 = _vary(jnp.int32(0))
+    _, rgb, tr = jax.lax.while_loop(cond, body, (k0, rgb0, tr0))
     alpha = jnp.where(hit, 1.0 - tr, 0.0)
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
@@ -121,14 +130,20 @@ def _march_block(vol, tf, origin, dirs, dmin, dmax, smin, smax, *,
 @functools.lru_cache(maxsize=None)
 def make_blocked_marcher(num_steps: int, step_size: float,
                          early_termination: bool, termination_eps: float,
-                         block_rows: int = 64):
+                         block_rows: int = 64, vary_axes: tuple = ()):
     """Adaptive-trip-count marcher with the fused marcher's signature and
-    custom VJP (backward delegates to the fused re-march)."""
+    custom VJP (backward delegates to the fused re-march).
+
+    ``vary_axes``: mesh axes when running manually under ``shard_map`` —
+    each shard's while_loops then exit on their own schedule (per-device
+    divergent trip counts are the point of pixel sharding); the fused
+    backward handles the gradient psum (see ``core.fused``).
+    """
     fused = make_fused_marcher(num_steps, step_size, early_termination,
-                               termination_eps)
+                               termination_eps, vary_axes=vary_axes)
     kwargs = dict(num_steps=num_steps, step_size=step_size,
                   early_termination=early_termination,
-                  termination_eps=termination_eps)
+                  termination_eps=termination_eps, vary_axes=vary_axes)
 
     @jax.custom_vjp
     def march(vol, tf, origin, dirs, dmin, dmax, smin, smax):

@@ -40,6 +40,13 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused")
             settings.num_steps, settings.step_size,
             settings.early_termination, settings.termination_eps,
         )
+    elif method == "blocked":
+        from volumetric_renderer_tpu.core.blocked import make_blocked_marcher
+        marcher = make_blocked_marcher(
+            settings.num_steps, settings.step_size,
+            settings.early_termination, settings.termination_eps,
+            vary_axes=tuple(mesh.axis_names),
+        )
     else:
         marcher = make_fused_marcher(
             settings.num_steps, settings.step_size,
