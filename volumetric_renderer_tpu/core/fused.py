@@ -129,7 +129,7 @@ def make_fused_marcher(num_steps: int, step_size: float,
         rgb0 = _vary(jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32))
         tr0 = _vary(jnp.ones(dirs.shape[:-1], jnp.float32))
 
-        def body(carry, k):
+        def body(k, carry):
             rgb, tr = carry
             pos = pos0 + (k.astype(jnp.float32) * step_size) * dirs
             inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1)
@@ -149,9 +149,11 @@ def make_fused_marcher(num_steps: int, step_size: float,
             a = jnp.where(active, a, 0.0)
             rgb = rgb + (tr * a)[..., None] * rgba[..., :3]
             tr = tr * (1.0 - a)
-            return (rgb, tr), None
+            return (rgb, tr)
 
-        (rgb, tr), _ = jax.lax.scan(body, (rgb0, tr0), jnp.arange(num_steps))
+        # fori_loop, NOT lax.scan — see core.marcher: scan+gather bodies
+        # hit a pathological TPU compile path (minutes); fori is <1s.
+        (rgb, tr) = jax.lax.fori_loop(0, num_steps, body, (rgb0, tr0))
         alpha = jnp.where(hit, 1.0 - tr, 0.0)
         return jnp.concatenate([rgb, alpha[..., None]], axis=-1), tr
 
@@ -190,7 +192,7 @@ def make_fused_marcher(num_steps: int, step_size: float,
         dmin_g0 = _vary(jnp.zeros_like(dmin))
         dmax_g0 = _vary(jnp.zeros_like(dmax))
 
-        def body(carry, k):
+        def body(k, carry):
             tr, p, vol_g, tf_g, dmin_g, dmax_g = carry
             pos = pos0 + (k.astype(jnp.float32) * step_size) * dirs
             inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1)
@@ -249,11 +251,11 @@ def make_fused_marcher(num_steps: int, step_size: float,
                 vol_g = vol_g.at[iz.reshape(-1), iy.reshape(-1), ix.reshape(-1)].add(contrib)
 
             tr = tr * (1.0 - a)
-            return (tr, p_new, vol_g, tf_g, dmin_g, dmax_g), None
+            return (tr, p_new, vol_g, tf_g, dmin_g, dmax_g)
 
-        (tr, p, vol_g, tf_g, dmin_g, dmax_g), _ = jax.lax.scan(
-            body, (tr0, p0, vol_g0, tf_g0, dmin_g0, dmax_g0),
-            jnp.arange(num_steps),
+        (tr, p, vol_g, tf_g, dmin_g, dmax_g) = jax.lax.fori_loop(
+            0, num_steps, body,
+            (tr0, p0, vol_g0, tf_g0, dmin_g0, dmax_g0),
         )
         if vary_axes:
             # Cotangent types must match the primal args: the grid, TF and

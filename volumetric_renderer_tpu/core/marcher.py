@@ -85,7 +85,7 @@ def march_rays(
         0.0,
     )
 
-    def body(carry, k):
+    def body(k, carry):
         rgb, trans = carry
         pos = pos0 + (k.astype(dirs.dtype) * step_size) * dirs
         # Bounds break (volume.frag:33-37). The box is convex so positions
@@ -103,10 +103,13 @@ def march_rays(
         a = jnp.where(active, rgba[..., 3], 0.0)
         rgb = rgb + (trans * a)[..., None] * rgba[..., :3]
         trans = trans * (1.0 - a)
-        return (rgb, trans), None
+        return (rgb, trans)
 
-    (rgb, trans), _ = jax.lax.scan(
-        body, (rgb0, trans0), jnp.arange(num_steps), unroll=1
+    # fori_loop, NOT lax.scan: scan-with-gather bodies trigger a
+    # pathological TPU compile (hundreds of seconds even at 32 steps,
+    # measured); fori_loop compiles in <1s with identical runtime.
+    (rgb, trans) = jax.lax.fori_loop(
+        0, num_steps, body, (rgb0, trans0)
     )
     alpha = jnp.where(hit, 1.0 - trans, 0.0)
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

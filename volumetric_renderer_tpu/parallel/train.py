@@ -48,13 +48,17 @@ def make_train_step(mesh, settings: RenderSettings, optimizer,
         vol = params["vol"] if optimize_vol else fixed["vol"]
         tf = params["tf"] if optimize_tf else fixed["tf"]
 
-        def one_view(carry, ct):
-            cam, target = ct
+        def one_view(i, carry):
+            cam = jax.tree.map(lambda x: x[i], cameras)
+            target = targets[i]
             img = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
                             fixed["smin"], fixed["smax"])
-            return carry + jnp.mean((img - target) ** 2), None
+            return carry + jnp.mean((img - target) ** 2)
 
-        total, _ = jax.lax.scan(one_view, jnp.float32(0.0), (cameras, targets))
+        # fori_loop, NOT lax.scan — scan bodies containing the gather-heavy
+        # render trigger a pathologically slow TPU compile (core.marcher)
+        total = jax.lax.fori_loop(0, targets.shape[0], one_view,
+                                  jnp.float32(0.0))
         return total / targets.shape[0]
 
     @jax.jit
