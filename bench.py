@@ -64,8 +64,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small workload for local iteration")
-    ap.add_argument("--method", default="fused",
-                    choices=["fused", "oracle", "pallas"])
+    ap.add_argument("--method", default="blocked",
+                    choices=["blocked", "fused", "oracle", "pallas"])
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the oracle baseline measurement")
