@@ -14,6 +14,7 @@
 #include <stdint.h>
 #include <stddef.h>
 #include <string.h>
+#include <stdlib.h>
 
 #define EXPORT __attribute__((visibility("default")))
 
@@ -120,4 +121,50 @@ EXPORT void vio_minmax_f32(const float *src, size_t count, float *out_minmax) {
   }
   out_minmax[0] = mn;
   out_minmax[1] = mx;
+}
+
+/* CSV slice parsing fast path — the reference parses CSV slices in C++
+ * with std::getline + std::stof per cell (csv_file_parser.cpp:14-50).
+ * Parse a whole CSV text buffer of comma-separated rows into float32,
+ * returning the number of values written, or -(line+1) on a malformed
+ * cell.  Rows are delimited by '\n' (a trailing '\r' is tolerated);
+ * `out_cols` receives the column count of the first row so the caller
+ * can enforce per-row consistency (the parser itself enforces equality
+ * and returns an error on ragged rows, mirroring the reference's
+ * dimension checks). */
+EXPORT long vio_parse_csv(const char *text, size_t len, float *dst,
+                          size_t cap, long *out_cols) {
+  size_t n = 0;
+  long cols = -1, col = 0, line = 0;
+  const char *p = text, *end = text + len;
+  while (p < end) {
+    /* one cell */
+    char *cell_end;
+    float v = strtof(p, &cell_end);
+    if (cell_end == p) return -(line + 1);
+    if (n >= cap) return -(line + 1);
+    dst[n++] = v;
+    col++;
+    p = cell_end;
+    while (p < end && *p == '\r') p++;
+    if (p >= end || *p == '\n') {
+      if (cols < 0) cols = col;
+      else if (col != cols) return -(line + 1);
+      col = 0;
+      line++;
+      if (p < end) p++;
+      /* skip blank trailing lines */
+      while (p < end && (*p == '\n' || *p == '\r')) p++;
+    } else if (*p == ',') {
+      p++;
+    } else {
+      return -(line + 1);
+    }
+  }
+  if (col != 0) {  /* last row without trailing newline */
+    if (cols < 0) cols = col;
+    else if (col != cols) return -(line + 1);
+  }
+  *out_cols = cols < 0 ? 0 : cols;
+  return (long)n;
 }

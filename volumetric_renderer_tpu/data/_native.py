@@ -60,6 +60,12 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.vio_minmax_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ]
+            if hasattr(lib, "vio_parse_csv"):
+                lib.vio_parse_csv.restype = ctypes.c_long
+                lib.vio_parse_csv.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+                    ctypes.c_size_t, ctypes.POINTER(ctypes.c_long),
+                ]
             _lib = lib
         except OSError:
             _lib = None
@@ -109,3 +115,28 @@ def minmax_f32(arr: np.ndarray) -> Tuple[float, float]:
     if arr.size == 0:
         return 0.0, 0.0
     return float(arr.min()), float(arr.max())
+
+
+def parse_csv(text: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Parse a CSV buffer of comma-separated floats via the C fast path.
+
+    Returns ``(flat_values_f32, n_cols)``, or ``None`` when the native
+    library is unavailable or lacks the symbol (caller falls back to the
+    Python parser).  Raises ``ValueError`` on a malformed or ragged row —
+    the same failure the reference surfaces as "Inconsistant dimensions"
+    (``csv_file_parser.cpp:37,43``).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "vio_parse_csv"):
+        return None
+    # upper bound on value count: one value per 1-2 bytes is impossible;
+    # a comma-separated float needs >= 2 chars, use len/2 + 1
+    cap = len(text) // 2 + 2
+    out = np.empty(cap, dtype=np.float32)
+    cols = ctypes.c_long(0)
+    rc = lib.vio_parse_csv(text, len(text),
+                           out.ctypes.data_as(ctypes.c_void_p), cap,
+                           ctypes.byref(cols))
+    if rc < 0:
+        raise ValueError(f"malformed CSV at line {-rc}")
+    return out[:rc].copy(), int(cols.value)

@@ -26,31 +26,61 @@ class CsvParseError(RuntimeError):
     pass
 
 
+def _parse_slice_python(text: str, x_dim) -> np.ndarray:
+    rows: List[np.ndarray] = []
+    for line in text.splitlines():
+        line = line.strip("\r")
+        if line == "":
+            continue
+        try:
+            vals = np.array([float(v) for v in line.split(",")],
+                            dtype=np.float32)
+        except ValueError as e:
+            raise CsvParseError(str(e)) from e
+        if x_dim is None:
+            x_dim = vals.size
+        elif vals.size != x_dim:
+            raise CsvParseError("Inconsistant dimensions")
+        rows.append(vals)
+    if not rows:
+        raise CsvParseError("empty CSV slice")
+    return np.stack(rows)
+
+
+def _parse_slice(path: str, x_dim) -> np.ndarray:
+    """One CSV file -> (Y, X) f32 array.  Native C fast path
+    (``native/volio.c`` ``vio_parse_csv``, mirroring the reference's C++
+    cell loop) with a pure-Python fallback."""
+    from volumetric_renderer_tpu.data import _native
+
+    with open(os.fspath(path), "rb") as f:
+        raw = f.read()
+    try:
+        parsed = _native.parse_csv(raw)
+    except ValueError as e:
+        raise CsvParseError(str(e)) from e
+    if parsed is None:
+        return _parse_slice_python(raw.decode("utf-8", "replace"), x_dim)
+    flat, cols = parsed
+    if cols == 0 or flat.size == 0:
+        raise CsvParseError("empty CSV slice")
+    if x_dim is not None and cols != x_dim:
+        raise CsvParseError("Inconsistant dimensions")
+    return flat.reshape(-1, cols)
+
+
 def read_csv_stack(paths: Sequence[str], reference_minmax: bool = False) -> Volume:
     slices: List[np.ndarray] = []
     x_dim = y_dim = None
     for path in paths:
-        rows: List[np.ndarray] = []
-        with open(os.fspath(path), "r") as f:
-            for line in f:
-                line = line.strip("\n\r")
-                if line == "":
-                    continue
-                vals = np.array(
-                    [float(v) for v in line.split(",")], dtype=np.float32
-                )
-                if x_dim is None:
-                    x_dim = vals.size
-                elif vals.size != x_dim:
-                    raise CsvParseError("Inconsistant dimensions")
-                rows.append(vals)
+        sl = _parse_slice(path, x_dim)
+        if x_dim is None:
+            x_dim = sl.shape[1]
         if y_dim is None:
-            y_dim = len(rows)
-        elif len(rows) != y_dim:
+            y_dim = sl.shape[0]
+        elif sl.shape[0] != y_dim:
             raise CsvParseError("Inconsistant dimensions")
-        if not rows:
-            raise CsvParseError("empty CSV slice")
-        slices.append(np.stack(rows))
+        slices.append(sl)
 
     if not slices:
         raise CsvParseError("no CSV files given")

@@ -30,6 +30,16 @@ clamp), so the kernel slots in as the forward of the same ``custom_vjp``.
 Limits: requires ``Z * Y * Xp * 4`` bytes of VMEM for the volume
 (<= ~12 MB, i.e. up to 128^3 f32 with X padded to 128).  Larger grids fall
 back to the XLA fused path until the HBM brick-streaming variant lands.
+
+**Status on current jaxlib**: Mosaic's gather lowering accepts only the
+same-shape ``tpu.dynamic_gather`` forms (input, indices and output must
+share one 2D shape — ``jax/_src/pallas/mosaic/lowering.py``,
+``_gather_lowering_rule``), which cannot express a small-tile fetch from
+a large VMEM-resident volume; per-lane cross-lane access does not exist
+in the VPU.  Until that lands upstream, this kernel runs in interpreter
+mode (exercised by the test suite for semantics) and the production TPU
+renderer is ``core.blocked`` — whose adaptive-trip-count design this
+kernel shares.
 """
 
 from __future__ import annotations
@@ -305,7 +315,9 @@ def make_pallas_marcher(num_steps: int, step_size: float,
     auto-selects interpreter mode off-TPU so tests run on CPU.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # interpreter everywhere until Mosaic grows a large-source gather
+        # (see module docstring); pass interpret=False to try compiling
+        interpret = True
 
     fused = make_fused_marcher(num_steps, step_size, early_termination,
                                termination_eps)
