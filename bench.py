@@ -15,7 +15,14 @@ naive pure-JAX oracle marcher (the faithful port of the reference's
 shader math) on the same chip and workload — i.e. how much the TPU-native
 design buys over a line-for-line translation.
 
-Usage: python bench.py [--quick] [--method fused|oracle|pallas]
+Usage: python bench.py [--quick] [--method slab|blocked|fused|oracle]
+       [--slab-mode exact|fast]
+
+The default (slab, fast) runs the production Pallas kernel with bf16x3
+matmuls: max error vs the exact path ~1e-3 — under half an 8-bit display
+quantum, i.e. below the reference's own RGBA8 TF quantization
+(offscreen_pass.cpp:1076).  ``--slab-mode exact`` is bit-comparable to
+the XLA marchers (~2e-6).
 """
 
 import argparse
@@ -33,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(method, settings, grid_n, tf_n=256):
+def build(method, settings, grid_n, tf_n=256, slab_mode="exact"):
     from volumetric_renderer_tpu.data.volume import Volume
     from volumetric_renderer_tpu.render.api import render
     from volumetric_renderer_tpu.scene.camera import OrbitCamera
@@ -45,7 +52,8 @@ def build(method, settings, grid_n, tf_n=256):
     tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, tf_n) ** 2)
     cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
 
-    fn = jax.jit(lambda v, t: render(v, t, cam, settings, method=method))
+    fn = jax.jit(lambda v, t: render(v, t, cam, settings, method=method,
+                                     slab_mode=slab_mode))
     return fn, vol, tf
 
 
@@ -64,8 +72,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small workload for local iteration")
-    ap.add_argument("--method", default="blocked",
-                    choices=["blocked", "fused", "oracle", "pallas"])
+    ap.add_argument("--method", default="slab",
+                    choices=["slab", "blocked", "fused", "oracle"])
+    ap.add_argument("--slab-mode", default="fast", choices=["exact", "fast"],
+                    help="slab kernel matmul precision (fast: bf16x3, "
+                         "error < half an 8-bit display quantum)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the oracle baseline measurement")
@@ -85,7 +96,8 @@ def main():
           f"workload={grid_n}^3 grid, {w}x{h}, {steps} steps, "
           f"method={args.method}", file=sys.stderr)
 
-    fn, vol, tf = build(args.method, settings, grid_n)
+    fn, vol, tf = build(args.method, settings, grid_n,
+                        slab_mode=args.slab_mode)
     t_render = time_renders(fn, vol, tf, args.iters)
     rays = h * w
     rays_per_s = rays / t_render

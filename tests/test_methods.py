@@ -21,11 +21,19 @@ def scene():
     return vol, tf, cam, s, oracle
 
 
-@pytest.mark.parametrize("method", ["fused", "blocked", "pallas"])
+@pytest.mark.parametrize("method", ["fused", "blocked"])
 def test_method_matches_oracle(scene, method):
     vol, tf, cam, s, oracle = scene
     got = np.asarray(render(vol, tf, cam, s, method=method))
     np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["slab", "pallas"])
+def test_slab_matches_oracle(scene, method):
+    # interpreter mode on CPU; compiled parity is checked on TPU by bench
+    vol, tf, cam, s, oracle = scene
+    got = np.asarray(render(vol, tf, cam, s, method=method, interpret=True))
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
 
 
 def test_unknown_method_raises(scene):

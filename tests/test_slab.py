@@ -1,0 +1,220 @@
+"""Slab Pallas kernel (kernels/slab.py) — golden tests vs the oracle.
+
+CI runs the kernel in interpreter mode (CPU); the real-TPU compile +
+parity + perf run is ``apps/benchmark.py`` / ``bench.py`` on hardware.
+Math under test mirrors ``/root/reference/res/shaders/volume.frag:29-50``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volumetric_renderer_tpu.core.marcher import march_rays
+from volumetric_renderer_tpu.data.volume import Volume
+from volumetric_renderer_tpu.kernels.slab import (
+    _k_interval,
+    build_slabs,
+    choose_axis,
+    choose_axis_from_camera,
+    make_slab_marcher,
+    make_slab_renderer,
+)
+from volumetric_renderer_tpu.render.api import render
+from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
+from volumetric_renderer_tpu.transfer.gradient import Gradient
+from volumetric_renderer_tpu.utils.config import RenderSettings
+
+H, W, STEPS, N, NTF = 32, 32, 48, 32, 32
+STEP = 1.8 / STEPS
+
+
+@pytest.fixture(scope="module")
+def scene():
+    vol = Volume.synthetic_sphere(N).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(NTF))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, NTF) ** 2)
+    return vol, tf
+
+
+def _march(vol, tf, cam, h=H, w=W, *, et=False, eps=1.0 / 255.0,
+           smin=None, smax=None, mode="exact", steps=STEPS):
+    origin, dirs = ray_grid(cam, h, w)
+    origin = origin + 0.5
+    smin = jnp.zeros(3) if smin is None else jnp.asarray(smin, jnp.float32)
+    smax = jnp.ones(3) if smax is None else jnp.asarray(smax, jnp.float32)
+    dmin, dmax = jnp.float32(0.0), jnp.float32(1.0)
+    step = 1.8 / steps
+
+    ref = march_rays(vol, tf, origin, dirs, density_min=dmin,
+                     density_max=dmax, slice_min=smin, slice_max=smax,
+                     num_steps=steps, step_size=step,
+                     early_termination=et, termination_eps=eps)
+
+    axis, reverse = choose_axis_from_camera(cam)
+    marcher = make_slab_marcher(steps, step, et, eps, tuple(vol.shape),
+                                tf.shape[0], h, w, axis=axis,
+                                reverse=reverse, mode=mode, interpret=True)
+    got = marcher(vol, tf, origin, dirs, dmin, dmax, smin, smax)
+    return np.asarray(got), np.asarray(ref)
+
+
+@pytest.mark.parametrize("yaw,pitch", [(30.0, 20.0), (120.0, -35.0),
+                                       (200.0, 5.0), (0.0, 80.0)])
+def test_matches_oracle_all_orientations(scene, yaw, pitch):
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=yaw, pitch_deg=pitch)
+    got, ref = _march(vol, tf, cam)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_matches_oracle_early_termination(scene):
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    got, ref = _march(vol, tf, cam, et=True)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_matches_oracle_slicing(scene):
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    got, ref = _march(vol, tf, cam, smin=(0.1, 0.2, 0.0),
+                      smax=(0.9, 1.0, 0.7))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_matches_oracle_nondivisible_image(scene):
+    """H, W not multiples of the 16x16 tile: padded rays must be inert."""
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    got, ref = _march(vol, tf, cam, h=30, w=20)
+    assert got.shape == (30, 20, 4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fast_mode_close(scene):
+    """DEFAULT-precision matmuls: error under half a display quantum."""
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    got, ref = _march(vol, tf, cam, mode="fast")
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_api_method_slab(scene):
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    s = RenderSettings(height=H, width=W, step_size=STEP,
+                       early_termination=False)
+    ref = np.asarray(render(vol, tf, cam, s, method="oracle"))
+    got = np.asarray(render(vol, tf, cam, s, method="slab", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_gradients_delegate_to_fused(scene):
+    """The custom VJP backward is the fused re-march: grads match the
+    oracle's plain autodiff on a tiny scene."""
+    import jax
+
+    vol = Volume.synthetic_sphere(8).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(8))
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    origin, dirs = ray_grid(cam, 16, 16)
+    origin = origin + 0.5
+    args = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
+
+    axis, reverse = choose_axis_from_camera(cam)
+    marcher = make_slab_marcher(16, 1.8 / 16, False, 1.0 / 255.0,
+                                tuple(vol.shape), tf.shape[0], 16, 16,
+                                axis=axis, reverse=reverse, interpret=True)
+
+    def loss_slab(v, t):
+        return jnp.sum(marcher(v, t, origin, dirs, *args) ** 2)
+
+    def loss_oracle(v, t):
+        img = march_rays(v, t, origin, dirs, density_min=args[0],
+                         density_max=args[1], slice_min=args[2],
+                         slice_max=args[3], num_steps=16,
+                         step_size=1.8 / 16, early_termination=False,
+                         termination_eps=1.0 / 255.0)
+        return jnp.sum(img ** 2)
+
+    gv, gt = jax.grad(loss_slab, argnums=(0, 1))(vol, tf)
+    gv_ref, gt_ref = jax.grad(loss_oracle, argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), atol=1e-4)
+
+
+# -- unit tests of the kernel's building blocks ---------------------------
+
+def test_build_slabs_reconstructs_volume(scene):
+    vol, _ = scene
+    for axis in (0, 1, 2):
+        slabs = np.asarray(build_slabs(vol, axis))
+        s_count, rows, b, c = slabs.shape
+        thick = rows - 1
+        from volumetric_renderer_tpu.kernels.slab import _PERMS
+        vp = np.transpose(np.asarray(vol), _PERMS[axis])
+        a_dim = vp.shape[0]
+        # body rows tile the (padded) volume; halo row s equals body row 0
+        # of slab s+1
+        for s in range(s_count):
+            lo = s * thick
+            hi = min(lo + thick, a_dim)
+            np.testing.assert_array_equal(slabs[s, : hi - lo], vp[lo:hi])
+            if hi - lo < thick:  # zero padding past the edge
+                assert not slabs[s, hi - lo:].any()
+        for s in range(s_count - 1):
+            np.testing.assert_array_equal(slabs[s, thick], slabs[s + 1, 0])
+
+
+def test_k_interval_brute_force():
+    """_k_interval must never exclude a step whose true interval overlaps."""
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        a0 = rng.uniform(-4, 20, 2)
+        a_lb0, a_ub0 = min(a0), max(a0)
+        d = rng.uniform(-2, 2, 2)
+        d_lb, d_ub = min(d), max(d)
+        if rng.random() < 0.2:
+            d_lb = d_ub = 0.0
+        lo_p, hi_p = sorted(rng.uniform(-2, 18, 2))
+        n = 12
+        k_lo, k_hi = _k_interval(
+            jnp.float32(a_lb0), jnp.float32(a_ub0), jnp.float32(d_lb),
+            jnp.float32(d_ub), jnp.float32(lo_p), jnp.float32(hi_p), n)
+        k_lo, k_hi = int(k_lo), int(k_hi)
+        for k in range(n):
+            lb = a_lb0 + k * d_lb
+            ub = a_ub0 + k * d_ub
+            overlaps = (ub >= lo_p) and (lb < hi_p)
+            if overlaps:
+                assert k_lo <= k < k_hi, (
+                    f"missed k={k}: [{lb},{ub}] vs [{lo_p},{hi_p}) "
+                    f"got [{k_lo},{k_hi})")
+
+
+def test_choose_axis():
+    assert choose_axis([0.0, 0.1, 1.0]) == (0, False)   # +z
+    assert choose_axis([0.0, 0.0, -1.0]) == (0, True)   # -z
+    assert choose_axis([0.1, -0.9, 0.2]) == (1, True)   # -y
+    assert choose_axis([0.9, 0.1, 0.2]) == (2, False)   # +x
+
+
+def test_choose_axis_from_camera_matches_rays():
+    """The camera look direction must agree with the mean hit-ray dir."""
+    for yaw, pitch in [(30.0, 20.0), (120.0, -35.0), (200.0, 5.0)]:
+        cam = OrbitCamera.from_angles(yaw_deg=yaw, pitch_deg=pitch)
+        _, dirs = ray_grid(cam, 16, 16)
+        mean = np.asarray(dirs).reshape(-1, 3).mean(0)
+        assert choose_axis_from_camera(cam) == choose_axis(mean)
+
+
+def test_choose_axis_from_camera_rejects_tracer():
+    import jax
+
+    def f(q):
+        cam = OrbitCamera(jnp.zeros(3), q, jnp.float32(3.0))
+        choose_axis_from_camera(cam)
+        return q
+
+    with pytest.raises(TypeError, match="concrete camera"):
+        jax.jit(f)(jnp.array([1.0, 0.0, 0.0, 0.0]))

@@ -23,8 +23,7 @@ A faithful ``jnp`` re-statement of the reference fragment shader
 
 This module is deliberately simple ``lax.scan`` code: it runs anywhere
 (CPU/TPU), differentiates by plain autodiff, and is the ground truth that
-the fused Pallas kernel (``kernels/raymarch_pallas.py``) must match to
-< 1e-4.
+the production Pallas kernel (``kernels/slab.py``) must match to < 1e-4.
 """
 
 from __future__ import annotations

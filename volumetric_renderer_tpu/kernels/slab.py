@@ -451,6 +451,14 @@ def make_slab_renderer(num_steps: int, step_size: float,
         from volumetric_renderer_tpu.core.sampling import ray_box_intersect
 
         t_entry, t_exit, hit = ray_box_intersect(origin, dirs)
+        # Rays must march along the slab axis with a consistent sign (the
+        # kernel visits slabs in that order).  For a reference-style orbit
+        # camera (40 deg FoV, radius >= ~1.2) every cube-hitting ray
+        # matches the camera's dominant-axis sign; the degenerate corner
+        # rays that do not are masked to misses rather than composited in
+        # the wrong depth order.
+        sign = -1.0 if reverse else 1.0
+        hit = hit & (dirs[..., comp_a] * sign >= 0.0)
         pos0 = jnp.clip(origin + t_entry[..., None] * dirs,
                         1e-6, 1.0 - 1e-6)
         pos0 = jnp.where(hit[..., None], pos0, 2.0)
@@ -553,3 +561,73 @@ def choose_axis(camera_forward) -> tuple:
     comp = np.array([f[2], f[1], f[0]])  # vol-axis order z, y, x
     axis = int(np.argmax(np.abs(comp)))
     return axis, bool(comp[axis] < 0)
+
+
+def choose_axis_from_camera(camera) -> tuple:
+    """(axis, reverse) for an :class:`~volumetric_renderer_tpu.scene.camera.
+    OrbitCamera` — the camera's look direction is ``center - position``.
+
+    The camera's leaves must be concrete (a closed-over camera under
+    ``jit`` qualifies; a camera passed as a jit *argument* does not): the
+    slab order is a compile-time property of the kernel.  The look
+    direction is computed in NumPy — any jnp op would be traced into the
+    surrounding jaxpr and stop being inspectable.  Raises ``TypeError``
+    for traced cameras with a pointer at the static-argument escape hatch.
+    """
+    try:
+        q = np.asarray(camera.orientation, np.float64)
+    except Exception as e:  # jax TracerArrayConversionError and friends
+        raise TypeError(
+            "method='slab' needs a concrete camera to pick the slab axis "
+            "at trace time; close over the camera or pass axis/reverse "
+            "explicitly (kernels.slab.make_slab_marcher)."
+        ) from e
+    # look dir = center - position = radius * (q rot (0,-1,0)); radius > 0
+    # never flips it, so rotate (0,-1,0) by q (Rodrigues) and pick from that.
+    w, u = q[0], q[1:]
+    v = np.array([0.0, -1.0, 0.0])
+    uv = np.cross(u, v)
+    fwd = v + 2.0 * (w * uv + np.cross(u, uv))
+    return choose_axis(fwd)
+
+
+@functools.lru_cache(maxsize=None)
+def make_slab_marcher(num_steps: int, step_size: float,
+                      early_termination: bool, termination_eps: float,
+                      vol_shape: tuple, ntf: int, height: int, width: int,
+                      axis: int = 0, reverse: bool = False,
+                      mode: str = "exact", interpret: bool = False,
+                      vary_axes: tuple = ()):
+    """Slab kernel with the standard marcher signature and a custom VJP.
+
+    ``f(vol, tf, origin, dirs, dmin, dmax, smin, smax) -> rgba`` — the
+    same contract as ``core.fused.make_fused_marcher``: the forward is the
+    Pallas slab kernel (volume decomposed via :func:`build_slabs` under
+    jit), the backward delegates to the fused re-march custom VJP.
+    """
+    from volumetric_renderer_tpu.core.fused import make_fused_marcher
+
+    rend = make_slab_renderer(num_steps, step_size, early_termination,
+                              termination_eps, vol_shape, ntf, height,
+                              width, axis=axis, reverse=reverse,
+                              mode=mode, interpret=interpret)
+    fused = make_fused_marcher(num_steps, step_size, early_termination,
+                               termination_eps, vary_axes=vary_axes)
+
+    @jax.custom_vjp
+    def march(vol, tf, origin, dirs, dmin, dmax, smin, smax):
+        slabs = build_slabs(vol, axis)
+        return rend(slabs, tf, origin, dirs, dmin, dmax, smin, smax)
+
+    def march_fwd(vol, tf, origin, dirs, dmin, dmax, smin, smax):
+        out = march(vol, tf, origin, dirs, dmin, dmax, smin, smax)
+        return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax)
+
+    def march_bwd(res, g):
+        vol, tf, origin, dirs, dmin, dmax, smin, smax = res
+        _, vjp = jax.vjp(fused, vol, tf, origin, dirs, dmin, dmax,
+                         smin, smax)
+        return vjp(g)
+
+    march.defvjp(march_fwd, march_bwd)
+    return march

@@ -24,21 +24,40 @@ from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
 from volumetric_renderer_tpu.utils.config import RenderSettings
 
 
-def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused"):
+def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
+                          *, vol_shape=None, slab_axis: int = 0,
+                          slab_reverse: bool = False, slab_mode: str = "exact",
+                          interpret: bool = False):
     """Build ``f(vol, tf, camera, dmin, dmax, smin, smax) -> (H, W, 4)``
     jitted over ``mesh`` with image rows sharded on every mesh axis.
 
     Ray generation happens inside the jit (replicated tiny matrix math);
     the per-device marcher sees only its row block, so HBM holds
     ``rows/n_devices`` of the ray and image tensors per chip.
+
+    ``method="slab"`` runs the TPU Pallas kernel per shard.  Because the
+    camera is a *traced* argument here, the slab order cannot be derived
+    from it — pass ``vol_shape`` plus ``slab_axis``/``slab_reverse``
+    (from ``kernels.slab.choose_axis_from_camera`` on the concrete
+    camera).  Each shard tiles only its own row block, so the kernel's
+    grid shrinks with the mesh; grid/TF gradients still psum through the
+    delegated fused backward.
     """
-    if method == "pallas":
-        from volumetric_renderer_tpu.kernels.raymarch_pallas import (
-            make_pallas_marcher,
-        )
-        marcher = make_pallas_marcher(
+    if method in ("slab", "pallas"):
+        from volumetric_renderer_tpu.kernels.slab import make_slab_marcher
+        if vol_shape is None:
+            raise ValueError("method='slab' needs vol_shape= (static)")
+        n_dev = 1
+        for ax in mesh.axis_names:
+            n_dev *= mesh.shape[ax]
+        hp = pad_rows(settings.height, mesh)
+        marcher = make_slab_marcher(
             settings.num_steps, settings.step_size,
             settings.early_termination, settings.termination_eps,
+            tuple(vol_shape), settings.tf_resolution,
+            hp // n_dev, settings.width,
+            axis=slab_axis, reverse=slab_reverse, mode=slab_mode,
+            interpret=interpret, vary_axes=tuple(mesh.axis_names),
         )
     elif method == "blocked":
         from volumetric_renderer_tpu.core.blocked import make_blocked_marcher
