@@ -115,6 +115,71 @@ def test_sharded_grads_match_unsharded():
                                    atol=2e-4 * np.abs(u).max())
 
 
+def test_forward_has_no_collectives_backward_psums():
+    """The scaling-efficiency design invariant, asserted at the HLO level
+    (deterministic, unlike wall-clock scaling on a shared-core host):
+    the sharded *forward* compiles to zero cross-device collectives —
+    every chip marches its own pixel rows — and the *backward* contains
+    exactly the grid/TF gradient all-reduce (the psum over ICI from the
+    north-star design, ``core/fused.py`` march_bwd)."""
+    mesh = make_mesh(jax.devices()[:8])
+    vol, tf, cam, fixed = scene()
+    render_fn = make_sharded_renderer(mesh, SETTINGS)
+
+    collectives = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+    fwd_hlo = render_fn.lower(
+        vol, tf, cam, fixed["dmin"], fixed["dmax"], fixed["smin"],
+        fixed["smax"]).compile().as_text()
+    found = [c for c in collectives if c in fwd_hlo]
+    assert not found, f"forward should be communication-free, found {found}"
+
+    def loss(vol, tf):
+        img = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                        fixed["smin"], fixed["smax"])
+        return jnp.sum(img ** 2)
+
+    bwd_hlo = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(
+        vol, tf).compile().as_text()
+    assert "all-reduce" in bwd_hlo, "grid/TF gradient psum missing"
+
+
+def test_local_batch_bounds_partition(monkeypatch):
+    """Host row ranges must tile [0, total) without gaps or overlap."""
+    from volumetric_renderer_tpu.parallel import distributed
+
+    for n_hosts, total in [(1, 10), (3, 10), (4, 16), (5, 7)]:
+        ranges = []
+        for i in range(n_hosts):
+            monkeypatch.setattr(jax, "process_count", lambda: n_hosts)
+            monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+            ranges.append(distributed.local_batch_bounds(total))
+        covered = sorted(r for lo, hi in ranges for r in range(lo, hi))
+        assert covered == list(range(total)), (n_hosts, total, ranges)
+
+
+def test_pod_mesh_shape(monkeypatch):
+    """pod_mesh reshapes global devices to (hosts, chips-per-host)."""
+    from volumetric_renderer_tpu.parallel import distributed
+    from volumetric_renderer_tpu.parallel.mesh import HOST_AXIS, TILE_AXIS
+
+    for n_hosts in (1, 2, 4):
+        monkeypatch.setattr(jax, "process_count", lambda: n_hosts)
+        mesh = distributed.pod_mesh()
+        assert mesh.axis_names == (HOST_AXIS, TILE_AXIS)
+        assert mesh.shape[HOST_AXIS] == n_hosts
+        assert mesh.shape[HOST_AXIS] * mesh.shape[TILE_AXIS] == len(
+            jax.devices())
+
+
+def test_init_distributed_single_process_noop():
+    from volumetric_renderer_tpu.parallel.distributed import init_distributed
+
+    init_distributed()  # no cluster env: must not raise
+    assert jax.process_count() >= 1
+
+
 def test_train_step_decreases_loss():
     """Toy grid inversion (BASELINE config 4 shape): loss drops."""
     mesh = make_mesh(jax.devices()[:8])

@@ -109,9 +109,10 @@ def test_api_method_slab(scene):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_gradients_delegate_to_fused(scene):
-    """The custom VJP backward is the fused re-march: grads match the
-    oracle's plain autodiff on a tiny scene."""
+@pytest.mark.parametrize("bwd", ["fused", "slab"])
+def test_gradients_match_oracle(scene, bwd):
+    """Both custom-VJP backwards — the XLA fused re-march delegate and the
+    TPU-native Pallas slab backward — match the oracle's plain autodiff."""
     import jax
 
     vol = Volume.synthetic_sphere(8).as_jax()
@@ -124,7 +125,8 @@ def test_gradients_delegate_to_fused(scene):
     axis, reverse = choose_axis_from_camera(cam)
     marcher = make_slab_marcher(16, 1.8 / 16, False, 1.0 / 255.0,
                                 tuple(vol.shape), tf.shape[0], 16, 16,
-                                axis=axis, reverse=reverse, interpret=True)
+                                axis=axis, reverse=reverse, interpret=True,
+                                bwd=bwd)
 
     def loss_slab(v, t):
         return jnp.sum(marcher(v, t, origin, dirs, *args) ** 2)
@@ -139,8 +141,52 @@ def test_gradients_delegate_to_fused(scene):
 
     gv, gt = jax.grad(loss_slab, argnums=(0, 1))(vol, tf)
     gv_ref, gt_ref = jax.grad(loss_oracle, argnums=(0, 1))(vol, tf)
-    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), atol=1e-4)
+    # rtol covers f32 summation-order noise on large-magnitude TF grads
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("yaw,pitch,et", [(120.0, -35.0, False),
+                                          (30.0, 20.0, True)])
+def test_pallas_backward_orientations_and_et(yaw, pitch, et):
+    """The Pallas backward across slab orientations, early termination on
+    and off, including the density-window scalar grads."""
+    import jax
+
+    vol = Volume.synthetic_sphere(12).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(8))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, 8) ** 2)
+    cam = OrbitCamera.from_angles(yaw_deg=yaw, pitch_deg=pitch)
+    origin, dirs = ray_grid(cam, 16, 16)
+    origin = origin + 0.5
+    smin, smax = jnp.zeros(3), jnp.ones(3)
+
+    axis, reverse = choose_axis_from_camera(cam)
+    marcher = make_slab_marcher(20, 1.8 / 20, et, 1.0 / 255.0,
+                                tuple(vol.shape), tf.shape[0], 16, 16,
+                                axis=axis, reverse=reverse, interpret=True,
+                                bwd="slab")
+
+    def loss_slab(v, t, dmn, dmx):
+        return jnp.sum(marcher(v, t, origin, dirs, dmn, dmx, smin, smax)
+                       ** 2)
+
+    def loss_oracle(v, t, dmn, dmx):
+        img = march_rays(v, t, origin, dirs, density_min=dmn,
+                         density_max=dmx, slice_min=smin, slice_max=smax,
+                         num_steps=20, step_size=1.8 / 20,
+                         early_termination=et, termination_eps=1.0 / 255.0)
+        return jnp.sum(img ** 2)
+
+    g = jax.grad(loss_slab, argnums=(0, 1, 2, 3))(
+        vol, tf, jnp.float32(0.0), jnp.float32(1.0))
+    r = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(
+        vol, tf, jnp.float32(0.0), jnp.float32(1.0))
+    for got, ref in zip(g, r):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
 
 
 # -- unit tests of the kernel's building blocks ---------------------------

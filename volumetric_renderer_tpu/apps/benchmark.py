@@ -71,13 +71,17 @@ def main(argv=None):
             fn = jax.jit(work)
         else:
             fn = lambda v, t: render_fn(v, t, cam, dmin, dmax, smin, smax)
-        jax.block_until_ready(fn(vol, tf))
+        warm = fn(vol, tf)
+        jax.block_until_ready(warm)
+        checksum = float(np.sum(jax.device_get(jax.tree.leaves(warm)[0])))
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             jax.block_until_ready(fn(vol, tf))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
+        print(f"devices={n}: iters={['%.4f' % t for t in times]} "
+              f"checksum={checksum:.3f}", file=sys.stderr)
         rays = h * w / dt
         results.append((n, rays))
         base = results[0][1]

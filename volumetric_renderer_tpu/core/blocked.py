@@ -82,6 +82,7 @@ def _march_block(vol, tf, origin, dirs, dmin, dmax, smin, smax, *,
         density = trilinear_sample_flat(vol, pos)
 
         t = (density - dmin) * inv_window
+        t = jnp.where(active, t, 0.0)  # NaN-voxel containment, see marcher
         x = t * n - 0.5
         i0t = jnp.floor(x)
         wt = x - i0t

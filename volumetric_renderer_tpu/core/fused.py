@@ -144,6 +144,7 @@ def make_fused_marcher(num_steps: int, step_size: float,
             # single flat 8-index gather (see sampling.trilinear_sample_flat)
             density = trilinear_sample_flat(vol, pos)
             t = (density - dmin) * inv_window
+            t = jnp.where(active, t, 0.0)  # NaN-voxel containment
             lo, hi, w = _tf_lerp_setup(tf, t)
             rgba = tf[lo] * (1.0 - w[..., None]) + tf[hi] * w[..., None]
             a = jnp.minimum(rgba[..., 3], amax)
@@ -207,6 +208,7 @@ def make_fused_marcher(num_steps: int, step_size: float,
             for iz, iy, ix, valid, weight in corners:
                 density = density + jnp.where(valid, vol[iz, iy, ix], 0.0) * weight
             t = (density - dmin) * inv_window
+            t = jnp.where(active, t, 0.0)  # NaN-voxel containment
             lo, hi, w = _tf_lerp_setup(tf, t)
             rgba = tf[lo] * (1.0 - w[..., None]) + tf[hi] * w[..., None]
             a_raw = rgba[..., 3]

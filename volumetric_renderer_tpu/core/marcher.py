@@ -98,6 +98,11 @@ def march_rays(
 
         density = trilinear_sample(vol, pos)
         t = (density - density_min) * inv_window
+        # The reference skips masked samples before fetching
+        # (volume.frag:39-40 `continue`s); here the fetch is unconditional,
+        # so zero t for masked lanes to keep non-finite voxel values from
+        # leaking through `0 * NaN` in the composite.
+        t = jnp.where(active, t, 0.0)
         rgba = sample_tf(tf_table, t)
         a = jnp.where(active, rgba[..., 3], 0.0)
         rgb = rgb + (trans * a)[..., None] * rgba[..., :3]

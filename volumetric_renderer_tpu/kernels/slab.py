@@ -300,6 +300,7 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
 
                 # TF lookup + composite: identical ops to core.blocked
                 t = (density - dmin) * inv_w
+                t = jnp.where(active, t, 0.0)  # NaN-voxel containment
                 x = t * float(ntf) - 0.5
                 i0t = jnp.floor(x)
                 wt = x - i0t
@@ -350,6 +351,107 @@ def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=9 * 2 ** 20):
     return int(thick)
 
 
+# The backward keeps FOUR slab-sized buffers live (double-buffered volume
+# slab in + double-buffered gradient slab out), so its slabs are thinner.
+_BWD_VMEM_BUDGET = 4 * 2 ** 20
+
+
+def _make_tilers(height, width):
+    """Pack/unpack closures between (H, W) images and (T, P) tile rows."""
+    ht = -(-height // TILE_H)
+    wt = -(-width // TILE_W)
+    n_tiles = ht * wt
+
+    def pack(img_hw):
+        x = jnp.pad(img_hw, ((0, ht * TILE_H - height),
+                             (0, wt * TILE_W - width)))
+        x = x.reshape(ht, TILE_H, wt, TILE_W)
+        return x.transpose(0, 2, 1, 3).reshape(n_tiles, P)
+
+    def unpack(tp):
+        x = tp.reshape(ht, wt, TILE_H, TILE_W).transpose(0, 2, 1, 3)
+        return x.reshape(ht * TILE_H, wt * TILE_W)[:height, :width]
+
+    return pack, unpack, n_tiles
+
+
+def _prep_inputs(origin, dirs, dmin, dmax, smin, smax, *, comps, reverse,
+                 dims_abc, ntf, num_steps, step_size, early_termination,
+                 termination_eps, thick, n_slab, pack, n_tiles):
+    """Shared fwd/bwd wrapper prep: ray rows, per-tile and global SMEM
+    metadata.  Returns (rows_data [7 images], hit image, tmeta, gmeta)."""
+    from volumetric_renderer_tpu.core.sampling import ray_box_intersect
+
+    comp_a, comp_b, comp_c = comps
+    na_dim, nb_dim, nc_dim = dims_abc
+
+    t_entry, t_exit, hit = ray_box_intersect(origin, dirs)
+    # Rays must march along the slab axis with a consistent sign (the
+    # kernel visits slabs in that order).  For a reference-style orbit
+    # camera (40 deg FoV, radius >= ~1.2) every cube-hitting ray
+    # matches the camera's dominant-axis sign; the degenerate corner
+    # rays that do not are masked to misses rather than composited in
+    # the wrong depth order.
+    sign = -1.0 if reverse else 1.0
+    hit = hit & (dirs[..., comp_a] * sign >= 0.0)
+    pos0 = jnp.clip(origin + t_entry[..., None] * dirs,
+                    1e-6, 1.0 - 1e-6)
+    pos0 = jnp.where(hit[..., None], pos0, 2.0)
+    dirs_m = jnp.where(hit[..., None], dirs, 0.0)
+
+    rows_data = [pos0[..., comp_c], pos0[..., comp_b], pos0[..., comp_a],
+                 dirs_m[..., comp_c], dirs_m[..., comp_b],
+                 dirs_m[..., comp_a],
+                 hit.astype(jnp.float32)]
+
+    # conservative f-space tile bounds along a (slab) and b (window)
+    big = jnp.float32(1e30)
+
+    def tile_minmax(val, pad):
+        v = pack(val)
+        h = pack(hit.astype(jnp.float32)) > 0.0
+        vmin = jnp.min(jnp.where(h, v, big), axis=1) - pad
+        vmax = jnp.max(jnp.where(h, v, -big), axis=1) + pad
+        return vmin, vmax
+
+    na_f, nb_f = float(na_dim), float(nb_dim)
+    fa0 = pos0[..., comp_a] * na_f - 0.5
+    fb0 = pos0[..., comp_b] * nb_f - 0.5
+    dfa = dirs_m[..., comp_a] * (step_size * na_f)
+    dfb = dirs_m[..., comp_b] * (step_size * nb_f)
+    pad = 1e-3
+    fa0_min, fa0_max = tile_minmax(fa0, pad)
+    fb0_min, fb0_max = tile_minmax(fb0, pad)
+    dfa_min, dfa_max = tile_minmax(dfa, pad * step_size)
+    dfb_min, dfb_max = tile_minmax(dfb, pad * step_size)
+    tmeta = jnp.stack([fa0_min, fa0_max, dfa_min, dfa_max,
+                       fb0_min, fb0_max, dfb_min, dfb_max],
+                      axis=1).reshape(n_tiles, 1, _TMETA_LEN)
+
+    inv_w = jnp.where(dmax - dmin > 0.0,
+                      1.0 / jnp.maximum(dmax - dmin, 1e-30), 0.0)
+    sm = jnp.stack([smin[comp_c], smin[comp_b], smin[comp_a],
+                    smax[comp_c], smax[comp_b], smax[comp_a]])
+    gmeta = jnp.zeros((_GMETA_LEN,), jnp.float32)
+    gmeta = gmeta.at[_G_DT].set(step_size)
+    gmeta = gmeta.at[_G_NSTEPS].set(float(num_steps))
+    gmeta = gmeta.at[_G_DMIN].set(dmin)
+    gmeta = gmeta.at[_G_INVW].set(inv_w)
+    gmeta = gmeta.at[_G_NTF].set(float(ntf))
+    gmeta = gmeta.at[_G_AMAX].set(1.0 - ALPHA_EPS)
+    gmeta = gmeta.at[_G_EPS].set(termination_eps)
+    gmeta = gmeta.at[_G_ET].set(1.0 if early_termination else 0.0)
+    gmeta = jax.lax.dynamic_update_slice(gmeta, sm, (_G_SMINC,))
+    gmeta = gmeta.at[_G_NC].set(float(nc_dim))
+    gmeta = gmeta.at[_G_NB].set(nb_f)
+    gmeta = gmeta.at[_G_NA].set(na_f)
+    gmeta = gmeta.at[_G_THICK].set(float(thick))
+    gmeta = gmeta.at[_G_NSLAB].set(float(n_slab))
+    gmeta = gmeta.at[_G_REV].set(1.0 if reverse else 0.0)
+    gmeta = gmeta.reshape(1, 1, _GMETA_LEN)
+    return rows_data, hit, tmeta, gmeta
+
+
 @functools.lru_cache(maxsize=None)
 def make_slab_renderer(num_steps: int, step_size: float,
                        early_termination: bool, termination_eps: float,
@@ -385,9 +487,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
     levels.append((rows, nb_dim))
     levels = tuple(levels)
 
-    ht = -(-height // TILE_H)
-    wt = -(-width // TILE_W)
-    n_tiles = ht * wt
+    _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
 
     # pts component index for each kernel axis (pts[...,0]=x ~ vol axis 2)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
@@ -436,85 +536,17 @@ def make_slab_renderer(num_steps: int, step_size: float,
         interpret=interpret,
     )
 
-    def _pack_tiles(img_hw):
-        """(H, W) -> (T, P) by 16x16 tiles (padded)."""
-        x = jnp.pad(img_hw, ((0, ht * TILE_H - height),
-                             (0, wt * TILE_W - width)))
-        x = x.reshape(ht, TILE_H, wt, TILE_W)
-        return x.transpose(0, 2, 1, 3).reshape(n_tiles, P)
-
-    def _unpack_tiles(tp):
-        x = tp.reshape(ht, wt, TILE_H, TILE_W).transpose(0, 2, 1, 3)
-        return x.reshape(ht * TILE_H, wt * TILE_W)[:height, :width]
-
     def forward(slabs, tf_table, origin, dirs, dmin, dmax, smin, smax):
-        from volumetric_renderer_tpu.core.sampling import ray_box_intersect
-
-        t_entry, t_exit, hit = ray_box_intersect(origin, dirs)
-        # Rays must march along the slab axis with a consistent sign (the
-        # kernel visits slabs in that order).  For a reference-style orbit
-        # camera (40 deg FoV, radius >= ~1.2) every cube-hitting ray
-        # matches the camera's dominant-axis sign; the degenerate corner
-        # rays that do not are masked to misses rather than composited in
-        # the wrong depth order.
-        sign = -1.0 if reverse else 1.0
-        hit = hit & (dirs[..., comp_a] * sign >= 0.0)
-        pos0 = jnp.clip(origin + t_entry[..., None] * dirs,
-                        1e-6, 1.0 - 1e-6)
-        pos0 = jnp.where(hit[..., None], pos0, 2.0)
-        dirs_m = jnp.where(hit[..., None], dirs, 0.0)
-
-        rows_data = [pos0[..., comp_c], pos0[..., comp_b], pos0[..., comp_a],
-                     dirs_m[..., comp_c], dirs_m[..., comp_b],
-                     dirs_m[..., comp_a],
-                     hit.astype(jnp.float32),
-                     jnp.zeros_like(t_entry)]
+        rows_data, hit, tmeta, gmeta = _prep_inputs(
+            origin, dirs, dmin, dmax, smin, smax,
+            comps=(comp_a, comp_b, comp_c), reverse=reverse,
+            dims_abc=(na_dim, nb_dim, nc_dim), ntf=ntf,
+            num_steps=num_steps, step_size=step_size,
+            early_termination=early_termination,
+            termination_eps=termination_eps, thick=thick, n_slab=n_slab,
+            pack=_pack_tiles, n_tiles=n_tiles)
+        rows_data = rows_data + [jnp.zeros_like(rows_data[0])]
         rays = jnp.stack([_pack_tiles(r) for r in rows_data], axis=1)
-
-        # conservative f-space tile bounds along a (slab) and b (window)
-        big = jnp.float32(1e30)
-        def tile_minmax(val, pad):
-            v = _pack_tiles(val)
-            h = _pack_tiles(hit.astype(jnp.float32)) > 0.0
-            vmin = jnp.min(jnp.where(h, v, big), axis=1) - pad
-            vmax = jnp.max(jnp.where(h, v, -big), axis=1) + pad
-            return vmin, vmax
-
-        na_f, nb_f = float(na_dim), float(nb_dim)
-        fa0 = pos0[..., comp_a] * na_f - 0.5
-        fb0 = pos0[..., comp_b] * nb_f - 0.5
-        dfa = dirs_m[..., comp_a] * (step_size * na_f)
-        dfb = dirs_m[..., comp_b] * (step_size * nb_f)
-        pad = 1e-3
-        fa0_min, fa0_max = tile_minmax(fa0, pad)
-        fb0_min, fb0_max = tile_minmax(fb0, pad)
-        dfa_min, dfa_max = tile_minmax(dfa, pad * step_size)
-        dfb_min, dfb_max = tile_minmax(dfb, pad * step_size)
-        tmeta = jnp.stack([fa0_min, fa0_max, dfa_min, dfa_max,
-                           fb0_min, fb0_max, dfb_min, dfb_max],
-                          axis=1).reshape(n_tiles, 1, _TMETA_LEN)
-
-        inv_w = jnp.where(dmax - dmin > 0.0,
-                          1.0 / jnp.maximum(dmax - dmin, 1e-30), 0.0)
-        sm = jnp.stack([smin[comp_c], smin[comp_b], smin[comp_a],
-                        smax[comp_c], smax[comp_b], smax[comp_a]])
-        gmeta = jnp.zeros((_GMETA_LEN,), jnp.float32)
-        gmeta = gmeta.at[_G_DT].set(step_size)
-        gmeta = gmeta.at[_G_NSTEPS].set(float(num_steps))
-        gmeta = gmeta.at[_G_DMIN].set(dmin)
-        gmeta = gmeta.at[_G_INVW].set(inv_w)
-        gmeta = gmeta.at[_G_NTF].set(float(ntf))
-        gmeta = gmeta.at[_G_AMAX].set(1.0 - ALPHA_EPS)
-        gmeta = gmeta.at[_G_EPS].set(termination_eps)
-        gmeta = gmeta.at[_G_ET].set(1.0 if early_termination else 0.0)
-        gmeta = jax.lax.dynamic_update_slice(gmeta, sm, (_G_SMINC,))
-        gmeta = gmeta.at[_G_NC].set(float(nc_dim))
-        gmeta = gmeta.at[_G_NB].set(nb_f)
-        gmeta = gmeta.at[_G_NA].set(na_f)
-        gmeta = gmeta.at[_G_THICK].set(float(thick))
-        gmeta = gmeta.at[_G_NSLAB].set(float(n_slab))
-        gmeta = gmeta.at[_G_REV].set(1.0 if reverse else 0.0)
-        gmeta = gmeta.reshape(1, 1, _GMETA_LEN)
 
         tft = jnp.pad(tf_table.astype(jnp.float32), ((0, 0), (0, 4)))
 
@@ -534,7 +566,442 @@ def make_slab_renderer(num_steps: int, step_size: float,
     return forward
 
 
-def build_slabs(vol: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
+    """Backward kernel: re-march slab-by-slab and accumulate gradients.
+
+    The transpose of ``volume.frag:44-50``'s compositing via the fused
+    prefix-sum identity (see ``core.fused``): with per-step opacity ``a_k``
+    and transmittance ``T_k`` carried forward, ``dL/da_k`` needs only the
+    running prefix ``P_k`` — so the backward is a second front-to-back
+    march, not a reverse sweep.  Voxel gradients are the transpose of the
+    forward's one-hot tent matmuls — more matmuls, accumulated into the
+    gradient slab block that stays VMEM-resident across the tile sweep
+    (SURVEY hard-part 4: per-tile VMEM accumulation instead of scatters).
+    TF-table gradients are one (ntf, P) x (P, 8) matmul per step into a
+    VMEM-resident (ntf, 8) accumulator.
+    """
+    rows = thick + 1
+
+    def kernel(gmeta, tmeta, flag, rays, slab, tft, state,
+               state_out, flag_out, volg, tfg, sg):
+        dt = gmeta[0, 0, _G_DT]
+        n_steps = gmeta[0, 0, _G_NSTEPS].astype(jnp.int32)
+        dmin = gmeta[0, 0, _G_DMIN]
+        inv_w = gmeta[0, 0, _G_INVW]
+        amax = gmeta[0, 0, _G_AMAX]
+        eps_t = gmeta[0, 0, _G_EPS]
+        et_on = gmeta[0, 0, _G_ET] > 0.0
+        na = gmeta[0, 0, _G_NA]
+        thick_f = gmeta[0, 0, _G_THICK]
+        n_slab = gmeta[0, 0, _G_NSLAB].astype(jnp.int32)
+        rev = gmeta[0, 0, _G_REV] > 0.0
+
+        s_log = pl.program_id(0)
+        t_id = pl.program_id(1)
+        s_act = jnp.where(rev, n_slab - 1 - s_log, s_log)
+        abase = s_act.astype(jnp.float32) * thick_f
+        abase_i = s_act * thick
+
+        # Accumulator init on first visit of each output block.  The
+        # gradient slab block is revisited across the whole tile sweep
+        # (t innermost), the TF/scalar accumulators across the whole grid.
+        @pl.when(t_id == 0)
+        def _():
+            volg[0] = jnp.zeros((rows, nb, nc), jnp.float32)
+
+        @pl.when((s_log == 0) & (t_id == 0))
+        def _():
+            tfg[:, :] = jnp.zeros((ntf, 8), jnp.float32)
+            for i in range(8):
+                sg[0, i] = 0.0
+
+        lo_own = jnp.where(s_act == 0, -1.0, abase)
+        hi_own = abase + thick_f
+
+        k_lo, k_hi = _k_interval(
+            tmeta[0, 0, _T_FA0_MIN], tmeta[0, 0, _T_FA0_MAX],
+            tmeta[0, 0, _T_DFA_MIN], tmeta[0, 0, _T_DFA_MAX],
+            lo_own, hi_own, n_steps)
+
+        done = flag[0, 0, 0]
+
+        def run():
+            p0c = rays[0, 0, :]
+            p0b = rays[0, 1, :]
+            p0a = rays[0, 2, :]
+            dc = rays[0, 3, :]
+            db = rays[0, 4, :]
+            da = rays[0, 5, :]
+            hit = rays[0, 6, :] > 0.0
+            g_r = rays[0, 8, :]
+            g_g = rays[0, 9, :]
+            g_b = rays[0, 10, :]
+            g_a = rays[0, 11, :]
+            big_g = rays[0, 12, :]
+            tr_fin = rays[0, 13, :]
+
+            sminc = gmeta[0, 0, _G_SMINC]
+            sminb = gmeta[0, 0, _G_SMINB]
+            smina = gmeta[0, 0, _G_SMINA]
+            smaxc = gmeta[0, 0, _G_SMAXC]
+            smaxb = gmeta[0, 0, _G_SMAXB]
+            smaxa = gmeta[0, 0, _G_SMAXA]
+            nc_f = gmeta[0, 0, _G_NC]
+            nb_f = gmeta[0, 0, _G_NB]
+
+            def step(k, carry):
+                tr, p, dming_v, dmaxg_v = carry
+                kf = k.astype(jnp.float32)
+                tstep = kf * dt
+                # identical float ops to the forward kernel
+                pc = p0c + tstep * dc
+                pb = p0b + tstep * db
+                pa = p0a + tstep * da
+                inside = ((pc >= 0.0) & (pc <= 1.0)
+                          & (pb >= 0.0) & (pb <= 1.0)
+                          & (pa >= 0.0) & (pa <= 1.0))
+                sliced = ((pc < smaxc) & (pc > sminc)
+                          & (pb < smaxb) & (pb > sminb)
+                          & (pa < smaxa) & (pa > smina))
+                fc = pc * nc_f - 0.5
+                fb = pb * nb_f - 0.5
+                fa = pa * na - 0.5
+                cc = jnp.floor(fc)
+                cb = jnp.floor(fb)
+                ca = jnp.floor(fa)
+                wc = fc - cc
+                wb = fb - cb
+                wa = fa - ca
+                cc = cc.astype(jnp.int32)
+                cb = cb.astype(jnp.int32)
+                ca = ca.astype(jnp.int32)
+
+                owned = ((ca.astype(jnp.float32) >= lo_own)
+                         & (ca.astype(jnp.float32) < hi_own))
+                active = inside & sliced & owned
+                active = active & ((tr > eps_t) | jnp.logical_not(et_on))
+
+                fb_lb = jnp.maximum(
+                    tmeta[0, 0, _T_FB0_MIN] + kf * tmeta[0, 0, _T_DFB_MIN],
+                    -1.0)
+                fb_ub = jnp.minimum(
+                    tmeta[0, 0, _T_FB0_MAX] + kf * tmeta[0, 0, _T_DFB_MAX],
+                    nb_f)
+                fa_lb = jnp.maximum(
+                    tmeta[0, 0, _T_FA0_MIN] + kf * tmeta[0, 0, _T_DFA_MIN],
+                    lo_own)
+                fa_ub = jnp.minimum(
+                    tmeta[0, 0, _T_FA0_MAX] + kf * tmeta[0, 0, _T_DFA_MAX],
+                    hi_own)
+
+                b_lo = jnp.floor(fb_lb).astype(jnp.int32)
+                b_hi = jnp.floor(fb_ub).astype(jnp.int32) + 1  # +1 corner
+                a_lo = jnp.clip(jnp.floor(fa_lb).astype(jnp.int32) - abase_i,
+                                0, rows - 1)
+                a_hi = jnp.clip(
+                    jnp.floor(fa_ub).astype(jnp.int32) + 1 - abase_i,
+                    0, rows - 1)
+
+                la = ca - abase_i
+                wxt = _tent_lanes(cc, wc, nc)
+
+                def level_geom(zw, yw):
+                    if yw >= nb:
+                        y0 = 0
+                        yw_eff = nb
+                    else:
+                        y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
+                        y0 = pl.multiple_of(y0, 8)
+                        yw_eff = yw
+                    z0 = jnp.clip(a_lo, 0, rows - zw)
+                    lb = cb - (0 if yw >= nb else y0)
+                    wyt = _tent_lanes(lb, wb, yw_eff)
+                    return y0, z0, wyt
+
+                def sample_level(zw, yw):
+                    y0, z0, wyt = level_geom(zw, yw)
+                    v1 = jnp.zeros((P, nc), jnp.float32)
+                    for rr in range(zw):
+                        wzr = jnp.where(la == z0 + rr, 1.0 - wa,
+                                        jnp.where(la + 1 == z0 + rr, wa, 0.0))
+                        a_mat = wyt * wzr[:, None]
+                        if yw >= nb:
+                            b_mat = slab[0, z0 + rr, :, :]
+                        else:
+                            b_mat = slab[0, z0 + rr, pl.ds(y0, yw), :]
+                        v1 = v1 + jnp.dot(a_mat, b_mat,
+                                          precision=precision,
+                                          preferred_element_type=jnp.float32)
+                    return jnp.sum(v1 * wxt, axis=1)
+
+                if len(levels) == 1:
+                    lvl = jnp.int32(0)
+                    density = sample_level(*levels[0])
+                else:
+                    def fits(zw, yw):
+                        zok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
+                        if yw >= nb:
+                            yok = True
+                        else:
+                            y0c = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
+                            yok = (b_hi - y0c) <= yw - 1
+                        return jnp.logical_and(zok, yok)
+
+                    lvl = jnp.int32(len(levels) - 1)
+                    for i in range(len(levels) - 2, -1, -1):
+                        lvl = jnp.where(fits(*levels[i]), jnp.int32(i), lvl)
+                    density = jax.lax.switch(
+                        lvl, [functools.partial(sample_level, zw, yw)
+                              for (zw, yw) in levels])
+
+                # TF lookup (same ops as forward)
+                t = (density - dmin) * inv_w
+                t = jnp.where(active, t, 0.0)  # NaN-voxel containment
+                x = t * float(ntf) - 0.5
+                i0t = jnp.floor(x)
+                wt = x - i0t
+                lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
+                hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
+                wtf = _tf_weights(lo, hi, wt, ntf)
+                rgba = jnp.dot(wtf, tft[:, :],
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+                a_raw = rgba[:, 3]
+                clamped = a_raw > amax
+                a = jnp.where(active, jnp.minimum(a_raw, amax), 0.0)
+
+                # prefix-sum cotangents (core.fused.march_bwd, same order)
+                gc_dot_c = (g_r * rgba[:, 0] + g_g * rgba[:, 1]
+                            + g_b * rgba[:, 2])
+                ta = tr * a
+                p_k = ta * gc_dot_c
+                p_new = p + p_k
+                s_k = big_g - p_new
+                one_minus_a = jnp.maximum(1.0 - a, ALPHA_EPS)
+                dL_da = tr * gc_dot_c + (g_a * tr_fin - s_k) / one_minus_a
+                dL_da = jnp.where(active & jnp.logical_not(clamped),
+                                  dL_da, 0.0)
+                act = jnp.where(active, 1.0, 0.0)
+                # (P, 8) cotangent built lane-by-lane with broadcasts (the
+                # same pattern as _tent_lanes) — jnp.stack of (P,) pieces
+                # is a lanes->sublanes transpose Mosaic cannot lay out
+                lanes8 = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+                g_rgba8 = (
+                    jnp.where(lanes8 == 0, (ta * g_r * act)[:, None], 0.0)
+                    + jnp.where(lanes8 == 1, (ta * g_g * act)[:, None], 0.0)
+                    + jnp.where(lanes8 == 2, (ta * g_b * act)[:, None], 0.0)
+                    + jnp.where(lanes8 == 3, dL_da[:, None], 0.0))
+
+                # TF-table gradient: transpose of the tent lookup
+                tfg[:, :] += jax.lax.dot_general(
+                    wtf, g_rgba8, (((0,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32)
+
+                # density cotangent via d rgba / dt = (tf[hi]-tf[lo]) * ntf
+                dwtf = (jnp.where(
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (P, ntf), 1) == hi[:, None],
+                            1.0, 0.0)
+                        - jnp.where(
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (P, ntf), 1) == lo[:, None],
+                            1.0, 0.0)) * float(ntf)
+                drgba8 = jnp.dot(dwtf, tft[:, :], precision=precision,
+                                 preferred_element_type=jnp.float32)
+                dL_dt = jnp.sum(g_rgba8 * drgba8, axis=1)
+                dd = dL_dt * inv_w
+                dming_v = dming_v + dL_dt * (t - 1.0) * inv_w
+                dmaxg_v = dmaxg_v + dL_dt * (-t) * inv_w
+
+                # voxel-grid gradient: transpose of the tent matmuls,
+                # accumulated into the VMEM-resident gradient slab block
+                ddwxt = dd[:, None] * wxt
+
+                def scatter_level(zw, yw):
+                    y0, z0, wyt = level_geom(zw, yw)
+                    for rr in range(zw):
+                        wzr = jnp.where(la == z0 + rr, 1.0 - wa,
+                                        jnp.where(la + 1 == z0 + rr, wa, 0.0))
+                        a_mat = wyt * wzr[:, None]
+                        m = jax.lax.dot_general(
+                            a_mat, ddwxt, (((0,), (0,)), ((), ())),
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+                        if yw >= nb:
+                            volg[0, z0 + rr, :, :] += m
+                        else:
+                            volg[0, z0 + rr, pl.ds(y0, yw), :] += m
+                    return jnp.int32(0)
+
+                if len(levels) == 1:
+                    scatter_level(*levels[0])
+                else:
+                    jax.lax.switch(
+                        lvl, [functools.partial(scatter_level, zw, yw)
+                              for (zw, yw) in levels])
+
+                tr = tr * (1.0 - a)
+                return tr, p_new, dming_v, dmaxg_v
+
+            # rows 2/3 of the state are always zero and pass through
+            # unchanged — loading them (rather than a jnp.zeros splat)
+            # gives the accumulators a concrete, body-compatible layout
+            carry = (state[0, 0, :], state[0, 1, :],
+                     state[0, 2, :], state[0, 3, :])
+            tr, p, dming_v, dmaxg_v = jax.lax.fori_loop(k_lo, k_hi, step,
+                                                        carry)
+            state_out[0, 0, :] = tr
+            state_out[0, 1, :] = p
+            for i in range(2, 8):
+                state_out[0, i, :] = state[0, i, :]
+            sg[0, 0] += jnp.sum(dming_v)
+            sg[0, 1] += jnp.sum(dmaxg_v)
+            live = jnp.max(jnp.where(hit, tr, 0.0))
+            flag_out[0, 0, 0] = jnp.where(et_on & (live <= eps_t),
+                                          jnp.int32(1), jnp.int32(0))
+
+        def skip():
+            state_out[0] = state[0]
+            flag_out[0, 0, 0] = done
+
+        jax.lax.cond((done == 0) & (k_lo < k_hi), run, skip)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def make_slab_bwd(num_steps: int, step_size: float,
+                  early_termination: bool, termination_eps: float,
+                  vol_shape: tuple, ntf: int, height: int, width: int,
+                  axis: int = 0, reverse: bool = False,
+                  mode: str = "exact", interpret: bool = False):
+    """Build the Pallas backward for a static configuration.
+
+    Returns ``bwd(vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g)
+    -> (vol_g, tf_g, dmin_g, dmax_g)`` where ``out`` is the forward's
+    rgba image and ``g`` its cotangent.
+    """
+    perm = _PERMS[axis]
+    zdim, ydim, xdim = vol_shape
+    dims_zyx = (zdim, ydim, xdim)
+    na_dim = dims_zyx[perm[0]]
+    nb_dim = dims_zyx[perm[1]]
+    nc_dim = dims_zyx[perm[2]]
+    thick = _choose_thick(na_dim, nb_dim, nc_dim,
+                          vmem_budget=_BWD_VMEM_BUDGET)
+    n_slab = -(-na_dim // thick)
+    rows = thick + 1
+
+    levels = []
+    if nb_dim >= 24 and rows > 4:
+        levels.append((min(4, rows), 16))
+    if nb_dim >= 64 and rows > 8:
+        levels.append((min(8, rows), 48))
+    levels.append((rows, nb_dim))
+    levels = tuple(levels)
+
+    _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
+    comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
+    precision = (jax.lax.Precision.HIGHEST if mode == "exact"
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_bwd_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
+                              levels=levels, precision=precision)
+
+    def index_slab(s, t):
+        return ((n_slab - 1 - s) if reverse else s, 0, 0, 0)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_slab, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, _GMETA_LEN), lambda s, t: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, _TMETA_LEN), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16, P), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, nb_dim, nc_dim), index_slab,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ntf, 8), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, P), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, nb_dim, nc_dim), index_slab,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ntf, 8), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda s, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((n_slab, rows, nb_dim, nc_dim),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((ntf, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 8), jnp.float32)),
+        input_output_aliases={6: 0, 2: 1},
+        interpret=interpret,
+    )
+
+    inv_perm = tuple(int(i) for i in np.argsort(perm))
+
+    def backward(vol, tf_table, origin, dirs, dmin, dmax, smin, smax,
+                 out, g):
+        slabs = build_slabs(vol, axis, thick=thick)
+        rows_data, hit, tmeta, gmeta = _prep_inputs(
+            origin, dirs, dmin, dmax, smin, smax,
+            comps=(comp_a, comp_b, comp_c), reverse=reverse,
+            dims_abc=(na_dim, nb_dim, nc_dim), ntf=ntf,
+            num_steps=num_steps, step_size=step_size,
+            early_termination=early_termination,
+            termination_eps=termination_eps, thick=thick, n_slab=n_slab,
+            pack=_pack_tiles, n_tiles=n_tiles)
+
+        g_rgb = g[..., :3]
+        g_alpha = jnp.where(hit, g[..., 3], 0.0)
+        big_g = jnp.sum(g_rgb * out[..., :3], axis=-1)
+        tr_fin = 1.0 - out[..., 3]  # miss rays have alpha == 0 -> tr 1
+        zero_img = jnp.zeros_like(rows_data[0])
+        rows_data = rows_data + [zero_img, g[..., 0], g[..., 1], g[..., 2],
+                                 g_alpha, big_g, tr_fin, zero_img, zero_img]
+        rays = jnp.stack([_pack_tiles(r) for r in rows_data], axis=1)
+
+        tft = jnp.pad(tf_table.astype(jnp.float32), ((0, 0), (0, 4)))
+        state0 = jnp.zeros((n_tiles, 8, P), jnp.float32)
+        state0 = state0.at[:, 0, :].set(1.0)  # transmittance
+        flags0 = jnp.zeros((n_tiles, 1, 1), jnp.int32)
+
+        _, _, volg, tfg, sg = call(gmeta, tmeta, flags0, rays, slabs,
+                                   tft, state0)
+
+        # reassemble: body rows tile the padded axis; halo rows (shared
+        # with the next slab's row 0) add at the slab boundaries
+        body = volg[:, :thick].reshape(n_slab * thick, nb_dim, nc_dim)
+        vg_p = jnp.concatenate(
+            [body, jnp.zeros((1, nb_dim, nc_dim), jnp.float32)])
+        halo_rows = thick * (jnp.arange(n_slab, dtype=jnp.int32) + 1)
+        vg_p = vg_p.at[halo_rows].add(volg[:, thick])
+        vol_g = jnp.transpose(vg_p[:na_dim], inv_perm)
+        return vol_g, tfg[:, :4], sg[0, 0], sg[0, 1]
+
+    return backward
+
+
+def build_slabs(vol: jnp.ndarray, axis: int = 0,
+                thick: int | None = None) -> jnp.ndarray:
     """Decompose ``vol[Z, Y, X]`` into halo'd slabs along ``axis``.
 
     Returns ``(S, thick+1, B, C)`` f32 with one halo row per slab (the
@@ -544,7 +1011,8 @@ def build_slabs(vol: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     vol = jnp.asarray(vol, jnp.float32)
     vp = jnp.transpose(vol, _PERMS[axis])
     a_dim, b_dim, c_dim = vp.shape
-    thick = _choose_thick(a_dim, b_dim, c_dim)
+    if thick is None:
+        thick = _choose_thick(a_dim, b_dim, c_dim)
     n_slab = -(-a_dim // thick)
     vp = jnp.pad(vp, ((0, n_slab * thick + 1 - a_dim), (0, 0), (0, 0)))
     return jnp.stack([
@@ -597,22 +1065,22 @@ def make_slab_marcher(num_steps: int, step_size: float,
                       vol_shape: tuple, ntf: int, height: int, width: int,
                       axis: int = 0, reverse: bool = False,
                       mode: str = "exact", interpret: bool = False,
-                      vary_axes: tuple = ()):
+                      vary_axes: tuple = (), bwd: str = "slab"):
     """Slab kernel with the standard marcher signature and a custom VJP.
 
     ``f(vol, tf, origin, dirs, dmin, dmax, smin, smax) -> rgba`` — the
     same contract as ``core.fused.make_fused_marcher``: the forward is the
     Pallas slab kernel (volume decomposed via :func:`build_slabs` under
-    jit), the backward delegates to the fused re-march custom VJP.
+    jit).  ``bwd="slab"`` (default) runs the TPU-native Pallas backward
+    (:func:`make_slab_bwd`: slab re-march, VMEM-accumulated voxel/TF
+    gradients — the north-star custom VJP); ``bwd="fused"`` delegates to
+    the XLA fused re-march (``core.fused``), kept as the semantics
+    reference and scatter-based fallback.
     """
-    from volumetric_renderer_tpu.core.fused import make_fused_marcher
-
     rend = make_slab_renderer(num_steps, step_size, early_termination,
                               termination_eps, vol_shape, ntf, height,
                               width, axis=axis, reverse=reverse,
                               mode=mode, interpret=interpret)
-    fused = make_fused_marcher(num_steps, step_size, early_termination,
-                               termination_eps, vary_axes=vary_axes)
 
     @jax.custom_vjp
     def march(vol, tf, origin, dirs, dmin, dmax, smin, smax):
@@ -621,13 +1089,38 @@ def make_slab_marcher(num_steps: int, step_size: float,
 
     def march_fwd(vol, tf, origin, dirs, dmin, dmax, smin, smax):
         out = march(vol, tf, origin, dirs, dmin, dmax, smin, smax)
-        return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax)
+        return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax, out)
 
-    def march_bwd(res, g):
-        vol, tf, origin, dirs, dmin, dmax, smin, smax = res
-        _, vjp = jax.vjp(fused, vol, tf, origin, dirs, dmin, dmax,
-                         smin, smax)
-        return vjp(g)
+    if bwd == "slab":
+        # grads stay exact regardless of forward display precision
+        bwd_fn = make_slab_bwd(num_steps, step_size, early_termination,
+                               termination_eps, vol_shape, ntf, height,
+                               width, axis=axis, reverse=reverse,
+                               mode="exact", interpret=interpret)
+
+        def march_bwd(res, g):
+            vol, tf, origin, dirs, dmin, dmax, smin, smax, out = res
+            vol_g, tf_g, dmin_g, dmax_g = bwd_fn(
+                vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g)
+            if vary_axes:
+                # replicated-input cotangents all-reduce over the mesh —
+                # the north-star grid/TF gradient psum over ICI
+                vol_g, tf_g, dmin_g, dmax_g = jax.lax.psum(
+                    (vol_g, tf_g, dmin_g, dmax_g), vary_axes)
+            zeros3 = jnp.zeros(3, jnp.float32)
+            return (vol_g, tf_g, jnp.zeros_like(origin),
+                    jnp.zeros_like(dirs), dmin_g, dmax_g, zeros3, zeros3)
+    else:
+        from volumetric_renderer_tpu.core.fused import make_fused_marcher
+
+        fused = make_fused_marcher(num_steps, step_size, early_termination,
+                                   termination_eps, vary_axes=vary_axes)
+
+        def march_bwd(res, g):
+            vol, tf, origin, dirs, dmin, dmax, smin, smax, _ = res
+            _, vjp = jax.vjp(fused, vol, tf, origin, dirs, dmin, dmax,
+                             smin, smax)
+            return vjp(g)
 
     march.defvjp(march_fwd, march_bwd)
     return march

@@ -72,6 +72,7 @@ def render(
     method: str = "fused",
     slab_mode: str = "exact",
     interpret: bool = False,
+    tf_srgb: bool = False,
 ) -> jnp.ndarray:
     """Render one ``(H, W, 4)`` RGBA frame.
 
@@ -79,7 +80,17 @@ def render(
     ``(N, 4)`` RGBA transfer function (see ``transfer``).  RGB is the
     front-to-back accumulation, alpha is opacity; composite over a
     background with :func:`composite_over`.
+
+    ``tf_srgb=True`` treats the TF table's RGB as sRGB-encoded and decodes
+    it before lookup — byte-for-byte the reference's ``R8G8B8A8_SRGB`` TF
+    sampler (``offscreen_pass.cpp:1076``), which linearizes texels ahead
+    of the linear filter.  The default (False) is this framework's
+    linear-throughout convention (SURVEY §7.4.6).
     """
+    if tf_srgb:
+        from volumetric_renderer_tpu.utils.color import linearize_tf_table
+
+        tf_table = linearize_tf_table(tf_table)
     origin, dirs, dmin, dmax, smin, smax = _prep(
         vol, camera, settings, density_min, density_max, slice_min, slice_max
     )

@@ -74,7 +74,11 @@ class OrbitCamera:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        # Bypass __init__: unflatten must accept arbitrary leaves (tracers,
+        # jit .lower() ArgInfo sentinels, None from tree_map) untouched.
+        obj = object.__new__(cls)
+        obj.center, obj.orientation, obj.radius = children
+        return obj
 
     # -- interaction (``camera.cpp:15-34``) --------------------------------
     def rotate(self, delta_xy) -> "OrbitCamera":

@@ -23,6 +23,21 @@ def linear_to_srgb(c):
     return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
 
 
+def linearize_tf_table(tf_table):
+    """sRGB-decode a transfer-function table's RGB channels (alpha is
+    passed through).
+
+    Reproduces the reference's ``R8G8B8A8_SRGB`` TF texture
+    (``src/rendering/offscreen_pass.cpp:1076``): the Vulkan sampler
+    converts each texel sRGB -> linear *before* the linear filter, which
+    is exactly equivalent to pre-decoding the whole table and then doing
+    the standard lerp lookup.  Alpha in sRGB images is always stored
+    linearly, so only RGB is decoded.
+    """
+    tf_table = jnp.asarray(tf_table, jnp.float32)
+    return tf_table.at[..., :3].set(srgb_to_linear(tf_table[..., :3]))
+
+
 def pack_rgba8(rgba: np.ndarray) -> np.ndarray:
     """Pack float RGBA in [0,1] to u32 (ABGR byte order, IM_COL32-style).
 
