@@ -9,6 +9,7 @@ from volumetric_renderer_tpu.kernels.slab import (  # noqa: F401
     build_slabs,
     choose_axis,
     choose_axis_from_camera,
+    make_slab_bwd,
     make_slab_marcher,
     make_slab_renderer,
 )

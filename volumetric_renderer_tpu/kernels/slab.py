@@ -16,19 +16,20 @@ gather tops out around 29 M fetches/s on v5e, so the kernel replaces
     slab.  Window anchors come from *scalar* conservative bounds (SMEM
     per-tile metadata), clipped to the volume because only in-cube
     samples contribute (masked compositing drops the rest).
-  * Trilinear interpolation is computed as **one-hot tent matmuls**: a
-    (P, YW) y/z-weight matrix against YW-row slab slices on the MXU,
-    then an x-tent contraction over the (full-width) lanes.  f32
-    matmuls — measured the same speed as bf16 here (the VPU one-hot
-    build dominates, not the MXU), so exactness vs the XLA oracle is
-    free.
-  * The transfer-function lookup is the same trick: a (P, ntf) tent
-    one-hot against the (ntf, 8)-padded table — clamp-to-edge lerp
-    exactly like the reference's 1D sampler (``offscreen_pass.cpp:
-    1125-1150``).
-  * Per-(slab, tile) step windows, a 3-level window-size switch
-    (16/48/full y-rows), and an early-termination tile flag (SMEM,
-    aliased in/out) skip work without data-dependent shapes.
+  * Trilinear interpolation is computed as **one-hot tent matmuls**,
+    shaped for the MXU's 128x128 tiles: the z-rows of the window merge
+    into the contraction dim (one (P, zw*yw) @ (zw*yw, cw) matmul per
+    step instead of zw K-padded ones) and the lane axis is trimmed to a
+    128-wide c window, then an x-tent contraction over those lanes.
+  * The transfer-function lookup is the same trick, transposed: the
+    (8, ntf)-padded table against an (ntf, P) tent one-hot, so the
+    matmul's minor dim is P rather than a zero-padded 8->128 — clamp-
+    to-edge lerp exactly like the reference's 1D sampler
+    (``offscreen_pass.cpp:1125-1150``).
+  * Per-(slab, tile) step windows, a multi-level (zw, yw, cw) window
+    switch with a full-face fallback, and an early-termination tile
+    flag (SMEM, aliased in/out) skip work without data-dependent
+    shapes.
 
 Per-ray state (rgb, transmittance) lives in HBM as a (T, 8, P) array,
 aliased input->output so writes at slab s are visible at slab s+1.
@@ -69,10 +70,12 @@ _G_NC, _G_NB, _G_NA, _G_THICK, _G_NSLAB, _G_REV = range(14, 20)
 _GMETA_LEN = 24
 
 # tmeta slot indices (per-tile SMEM scalars, f32): conservative f-space
-# bounds at k=0 and per-step drift, for the slab (a) and windowed (b) axes.
+# bounds at k=0 and per-step drift, for the slab (a), windowed (b) and
+# lane (c) axes.
 _T_FA0_MIN, _T_FA0_MAX, _T_DFA_MIN, _T_DFA_MAX = range(4)
 _T_FB0_MIN, _T_FB0_MAX, _T_DFB_MIN, _T_DFB_MAX = range(4, 8)
-_TMETA_LEN = 8
+_T_FC0_MIN, _T_FC0_MAX, _T_DFC_MIN, _T_DFC_MAX = range(8, 12)
+_TMETA_LEN = 12
 
 
 def _ceil_div_f(num, den):
@@ -121,23 +124,26 @@ def _tent_lanes(idx, w, width, valid=None):
     return t
 
 
-def _tf_weights(idx_lo, idx_hi, w, width):
-    """(P, width) clamp-to-edge lerp weights for the TF table lookup.
+def _tf_weights_t(idx_lo, idx_hi, w, width):
+    """(width, P) *transposed* clamp-to-edge lerp weights for the TF fetch.
 
-    Matches core.blocked: weight (1-w) on clip(i0) and w on clip(i0+1);
-    when both clamp to the same texel the weights sum — exactly
-    ``tf[lo]*(1-wt) + tf[hi]*wt``.
+    Weight (1-w) on clip(i0) and w on clip(i0+1); when both clamp to the
+    same texel the weights sum — exactly ``tf[lo]*(1-wt) + tf[hi]*wt``
+    (core.blocked's formulation).  Transposed so the fetch runs as
+    ``(8, ntf) @ (ntf, P)``: the matmul's minor output dim is P (a full
+    lane tile) instead of an 8->128 zero-padded one — 16x less MXU work
+    than the (P, ntf) @ (ntf, 8) orientation.
     """
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (idx_lo.shape[0], width), 1)
-    return (jnp.where(lanes == idx_lo[:, None], (1.0 - w)[:, None], 0.0)
-            + jnp.where(lanes == idx_hi[:, None], w[:, None], 0.0))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (width, idx_lo.shape[0]), 0)
+    return (jnp.where(rows == idx_lo[None, :], (1.0 - w)[None, :], 0.0)
+            + jnp.where(rows == idx_hi[None, :], w[None, :], 0.0))
 
 
 def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
     """Build the kernel body for static slab geometry.
 
-    levels: tuple of (ZW, YW) window sizes, smallest first; the last one
-    must be (thick+1, nb) (never misses).
+    levels: tuple of (zw, yw, cw) window sizes, smallest first; the last
+    one must be (thick+1, nb, nc) (never misses).
 
     precision: MXU precision for the one-hot matmuls.  HIGHEST (bf16x6)
     reproduces f32 exactly -> 1-ulp parity with the XLA marchers;
@@ -243,8 +249,17 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
                     tmeta[0, 0, _T_FA0_MAX] + kf * tmeta[0, 0, _T_DFA_MAX],
                     hi_own)
 
+                fc_lb = jnp.maximum(
+                    tmeta[0, 0, _T_FC0_MIN] + kf * tmeta[0, 0, _T_DFC_MIN],
+                    -1.0)
+                fc_ub = jnp.minimum(
+                    tmeta[0, 0, _T_FC0_MAX] + kf * tmeta[0, 0, _T_DFC_MAX],
+                    nc_f)
+
                 b_lo = jnp.floor(fb_lb).astype(jnp.int32)
                 b_hi = jnp.floor(fb_ub).astype(jnp.int32) + 1  # +1 corner
+                c_lo = jnp.floor(fc_lb).astype(jnp.int32)
+                c_hi = jnp.floor(fc_ub).astype(jnp.int32) + 1
                 a_lo = jnp.clip(jnp.floor(fa_lb).astype(jnp.int32) - abase_i,
                                 0, rows - 1)
                 a_hi = jnp.clip(
@@ -253,52 +268,77 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
 
                 la = ca - abase_i
 
-                def sample_level(zw, yw):
-                    if yw >= nb:
-                        y0 = 0
-                        yw_eff = nb
-                    else:
-                        y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
-                        y0 = pl.multiple_of(y0, 8)
-                        yw_eff = yw
+                def wz_row(z0, rr):
+                    return jnp.where(la == z0 + rr, 1.0 - wa,
+                                     jnp.where(la + 1 == z0 + rr, wa, 0.0))
+
+                def sample_level(zw, yw, cw):
                     z0 = jnp.clip(a_lo, 0, rows - zw)
-                    lb = cb - (0 if yw >= nb else y0)
-                    wyt = _tent_lanes(lb, wb, yw_eff)
-                    v1 = jnp.zeros((P, nc), jnp.float32)
-                    for rr in range(zw):
-                        wzr = jnp.where(la == z0 + rr, 1.0 - wa,
-                                        jnp.where(la + 1 == z0 + rr, wa, 0.0))
-                        a_mat = wyt * wzr[:, None]
-                        if yw >= nb:
-                            b_mat = slab[0, z0 + rr, :, :]
-                        else:
-                            b_mat = slab[0, z0 + rr, pl.ds(y0, yw), :]
-                        v1 = v1 + jnp.dot(a_mat, b_mat,
-                                          precision=precision,
-                                          preferred_element_type=jnp.float32)
-                    wxt = _tent_lanes(cc, wc, nc)
+                    if yw >= nb and cw >= nc:
+                        # full-face fallback: per-row matmuls
+                        wyt = _tent_lanes(cb, wb, nb)
+                        v1 = jnp.zeros((P, nc), jnp.float32)
+                        for rr in range(zw):
+                            a_mat = wyt * wz_row(z0, rr)[:, None]
+                            v1 = v1 + jnp.dot(
+                                a_mat, slab[0, z0 + rr, :, :],
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+                        wxt = _tent_lanes(cc, wc, nc)
+                        return jnp.sum(v1 * wxt, axis=1)
+                    # windowed path: ONE (P, zw*yw) @ (zw*yw, cw) matmul —
+                    # merging the z-rows into the contraction dim keeps the
+                    # MXU's K dim full instead of zero-padding yw->128 per
+                    # row, and the 128-lane c window trims N
+                    y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
+                    y0 = pl.multiple_of(y0, 8)
+                    if cw >= nc:
+                        lc = cc
+                    else:
+                        c0 = (jnp.clip(c_lo, 0, nc - cw) // 128) * 128
+                        c0 = pl.multiple_of(c0, 128)
+                        lc = cc - c0
+                    wyt = _tent_lanes(cb - y0, wb, yw)
+
+                    def b_win(rr):
+                        if cw >= nc:
+                            return slab[0, z0 + rr, pl.ds(y0, yw), :]
+                        return slab[0, z0 + rr, pl.ds(y0, yw),
+                                    pl.ds(c0, cw)]
+
+                    a_parts = [wyt * wz_row(z0, rr)[:, None]
+                               for rr in range(zw)]
+                    v1 = jnp.dot(
+                        jnp.concatenate(a_parts, axis=1),
+                        jnp.concatenate([b_win(rr) for rr in range(zw)],
+                                        axis=0),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                    wxt = _tent_lanes(lc, wc, cw)
                     return jnp.sum(v1 * wxt, axis=1)
+
+                def fits(zw, yw, cw):
+                    ok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
+                    if yw < nb:
+                        y0c = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
+                        ok = jnp.logical_and(ok, (b_hi - y0c) <= yw - 1)
+                    if cw < nc:
+                        c0c = (jnp.clip(c_lo, 0, nc - cw) // 128) * 128
+                        ok = jnp.logical_and(ok, (c_hi - c0c) <= cw - 1)
+                    return ok
 
                 if len(levels) == 1:
                     density = sample_level(*levels[0])
                 else:
-                    def fits(zw, yw):
-                        zok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
-                        if yw >= nb:
-                            yok = True
-                        else:
-                            y0c = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
-                            yok = (b_hi - y0c) <= yw - 1
-                        return jnp.logical_and(zok, yok)
-
                     lvl = jnp.int32(len(levels) - 1)
                     for i in range(len(levels) - 2, -1, -1):
                         lvl = jnp.where(fits(*levels[i]), jnp.int32(i), lvl)
                     density = jax.lax.switch(
-                        lvl, [functools.partial(sample_level, zw, yw)
-                              for (zw, yw) in levels])
+                        lvl, [functools.partial(sample_level, zw, yw, cw)
+                              for (zw, yw, cw) in levels])
 
-                # TF lookup + composite: identical ops to core.blocked
+                # TF lookup + composite: same float ops as core.blocked,
+                # fetched via the transposed (8, ntf) @ (ntf, P) matmul
                 t = (density - dmin) * inv_w
                 t = jnp.where(active, t, 0.0)  # NaN-voxel containment
                 x = t * float(ntf) - 0.5
@@ -306,16 +346,16 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
                 wt = x - i0t
                 lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
                 hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
-                wtf = _tf_weights(lo, hi, wt, ntf)
-                rgba = jnp.dot(wtf, tft[:, :],
-                               precision=precision,
-                               preferred_element_type=jnp.float32)
-                a = jnp.minimum(rgba[:, 3], amax)
+                wtf_t = _tf_weights_t(lo, hi, wt, ntf)
+                rgba_t = jnp.dot(tft[:, :], wtf_t,
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+                a = jnp.minimum(rgba_t[3, :], amax)
                 a = jnp.where(active, a, 0.0)
                 ta = tr * a
-                r = r + ta * rgba[:, 0]
-                g = g + ta * rgba[:, 1]
-                b2 = b + ta * rgba[:, 2]
+                r = r + ta * rgba_t[0, :]
+                g = g + ta * rgba_t[1, :]
+                b2 = b + ta * rgba_t[2, :]
                 tr = tr * (1.0 - a)
                 return r, g, b2, tr
 
@@ -354,6 +394,31 @@ def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=9 * 2 ** 20):
 # The backward keeps FOUR slab-sized buffers live (double-buffered volume
 # slab in + double-buffered gradient slab out), so its slabs are thinner.
 _BWD_VMEM_BUDGET = 4 * 2 ** 20
+
+
+def _make_levels(rows, nb_dim, nc_dim):
+    """Window levels (zw, yw, cw), cheapest first; the last never misses.
+
+    The windowed levels run the merged single-matmul path with K = zw*yw
+    (sized to land on 128-lane K tiles) and, when it fits the tile's
+    128-aligned lane window, a 128-lane c window.  Every 128-lane level
+    is paired with a full-lane sibling so a c-window miss (the tile's
+    x-range straddling a lane-tile boundary, ~20% of steps) degrades to
+    the still-windowed full-lane form — NOT to the full-face fallback.
+    """
+    levels = []
+    zw1 = min(4, rows)
+    yw1 = 32 if nb_dim >= 48 else 16
+    if rows > 4 and nb_dim >= 24:
+        if nc_dim > 128:
+            levels.append((zw1, yw1, 128))
+        levels.append((zw1, yw1, nc_dim))
+    if nb_dim >= 64 and rows > 8:
+        if nc_dim > 128:
+            levels.append((min(8, rows), 48, 128))
+        levels.append((min(8, rows), 48, nc_dim))
+    levels.append((rows, nb_dim, nc_dim))
+    return tuple(levels)
 
 
 def _make_tilers(height, width):
@@ -414,18 +479,23 @@ def _prep_inputs(origin, dirs, dmin, dmax, smin, smax, *, comps, reverse,
         vmax = jnp.max(jnp.where(h, v, -big), axis=1) + pad
         return vmin, vmax
 
-    na_f, nb_f = float(na_dim), float(nb_dim)
+    na_f, nb_f, nc_f = float(na_dim), float(nb_dim), float(nc_dim)
     fa0 = pos0[..., comp_a] * na_f - 0.5
     fb0 = pos0[..., comp_b] * nb_f - 0.5
+    fc0 = pos0[..., comp_c] * nc_f - 0.5
     dfa = dirs_m[..., comp_a] * (step_size * na_f)
     dfb = dirs_m[..., comp_b] * (step_size * nb_f)
+    dfc = dirs_m[..., comp_c] * (step_size * nc_f)
     pad = 1e-3
     fa0_min, fa0_max = tile_minmax(fa0, pad)
     fb0_min, fb0_max = tile_minmax(fb0, pad)
+    fc0_min, fc0_max = tile_minmax(fc0, pad)
     dfa_min, dfa_max = tile_minmax(dfa, pad * step_size)
     dfb_min, dfb_max = tile_minmax(dfb, pad * step_size)
+    dfc_min, dfc_max = tile_minmax(dfc, pad * step_size)
     tmeta = jnp.stack([fa0_min, fa0_max, dfa_min, dfa_max,
-                       fb0_min, fb0_max, dfb_min, dfb_max],
+                       fb0_min, fb0_max, dfb_min, dfb_max,
+                       fc0_min, fc0_max, dfc_min, dfc_max],
                       axis=1).reshape(n_tiles, 1, _TMETA_LEN)
 
     inv_w = jnp.where(dmax - dmin > 0.0,
@@ -477,15 +547,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
     thick = _choose_thick(na_dim, nb_dim, nc_dim)
     n_slab = -(-na_dim // thick)
     rows = thick + 1
-
-    # window levels (smallest first); last never misses
-    levels = []
-    if nb_dim >= 24 and rows > 4:
-        levels.append((min(4, rows), 16))
-    if nb_dim >= 64 and rows > 8:
-        levels.append((min(8, rows), 48))
-    levels.append((rows, nb_dim))
-    levels = tuple(levels)
+    levels = _make_levels(rows, nb_dim, nc_dim)
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
 
@@ -514,7 +576,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, nb_dim, nc_dim), index_slab,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntf, 8), lambda s, t: (0, 0),
+            pl.BlockSpec((8, ntf), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda s, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -548,7 +610,8 @@ def make_slab_renderer(num_steps: int, step_size: float,
         rows_data = rows_data + [jnp.zeros_like(rows_data[0])]
         rays = jnp.stack([_pack_tiles(r) for r in rows_data], axis=1)
 
-        tft = jnp.pad(tf_table.astype(jnp.float32), ((0, 0), (0, 4)))
+        # transposed (8, ntf): the kernels fetch via (8, ntf) @ (ntf, P)
+        tft = jnp.pad(tf_table.astype(jnp.float32), ((0, 0), (0, 4))).T
 
         state0 = jnp.zeros((n_tiles, 8, P), jnp.float32)
         state0 = state0.at[:, 3, :].set(1.0)
@@ -577,8 +640,8 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
     forward's one-hot tent matmuls — more matmuls, accumulated into the
     gradient slab block that stays VMEM-resident across the tile sweep
     (SURVEY hard-part 4: per-tile VMEM accumulation instead of scatters).
-    TF-table gradients are one (ntf, P) x (P, 8) matmul per step into a
-    VMEM-resident (ntf, 8) accumulator.
+    TF-table gradients are one ray-contracted matmul per step into a
+    VMEM-resident transposed (8, ntf) accumulator.
     """
     rows = thick + 1
 
@@ -611,7 +674,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
 
         @pl.when((s_log == 0) & (t_id == 0))
         def _():
-            tfg[:, :] = jnp.zeros((ntf, 8), jnp.float32)
+            tfg[:, :] = jnp.zeros((8, ntf), jnp.float32)
             for i in range(8):
                 sg[0, i] = 0.0
 
@@ -694,8 +757,17 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                     tmeta[0, 0, _T_FA0_MAX] + kf * tmeta[0, 0, _T_DFA_MAX],
                     hi_own)
 
+                fc_lb = jnp.maximum(
+                    tmeta[0, 0, _T_FC0_MIN] + kf * tmeta[0, 0, _T_DFC_MIN],
+                    -1.0)
+                fc_ub = jnp.minimum(
+                    tmeta[0, 0, _T_FC0_MAX] + kf * tmeta[0, 0, _T_DFC_MAX],
+                    nc_f)
+
                 b_lo = jnp.floor(fb_lb).astype(jnp.int32)
                 b_hi = jnp.floor(fb_ub).astype(jnp.int32) + 1  # +1 corner
+                c_lo = jnp.floor(fc_lb).astype(jnp.int32)
+                c_hi = jnp.floor(fc_ub).astype(jnp.int32) + 1
                 a_lo = jnp.clip(jnp.floor(fa_lb).astype(jnp.int32) - abase_i,
                                 0, rows - 1)
                 a_hi = jnp.clip(
@@ -703,58 +775,76 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                     0, rows - 1)
 
                 la = ca - abase_i
-                wxt = _tent_lanes(cc, wc, nc)
 
-                def level_geom(zw, yw):
-                    if yw >= nb:
-                        y0 = 0
-                        yw_eff = nb
+                def wz_row(z0, rr):
+                    return jnp.where(la == z0 + rr, 1.0 - wa,
+                                     jnp.where(la + 1 == z0 + rr, wa, 0.0))
+
+                def level_windows(yw, cw):
+                    y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
+                    y0 = pl.multiple_of(y0, 8)
+                    if cw >= nc:
+                        c0, lc = None, cc
                     else:
-                        y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
-                        y0 = pl.multiple_of(y0, 8)
-                        yw_eff = yw
-                    z0 = jnp.clip(a_lo, 0, rows - zw)
-                    lb = cb - (0 if yw >= nb else y0)
-                    wyt = _tent_lanes(lb, wb, yw_eff)
-                    return y0, z0, wyt
+                        c0 = (jnp.clip(c_lo, 0, nc - cw) // 128) * 128
+                        c0 = pl.multiple_of(c0, 128)
+                        lc = cc - c0
+                    return y0, c0, lc
 
-                def sample_level(zw, yw):
-                    y0, z0, wyt = level_geom(zw, yw)
-                    v1 = jnp.zeros((P, nc), jnp.float32)
+                def sample_level(zw, yw, cw):
+                    z0 = jnp.clip(a_lo, 0, rows - zw)
+                    if yw >= nb and cw >= nc:
+                        wyt = _tent_lanes(cb, wb, nb)
+                        v1 = jnp.zeros((P, nc), jnp.float32)
+                        for rr in range(zw):
+                            a_mat = wyt * wz_row(z0, rr)[:, None]
+                            v1 = v1 + jnp.dot(
+                                a_mat, slab[0, z0 + rr, :, :],
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+                        wxt = _tent_lanes(cc, wc, nc)
+                        return jnp.sum(v1 * wxt, axis=1)
+                    y0, c0, lc = level_windows(yw, cw)
+                    wyt = _tent_lanes(cb - y0, wb, yw)
+                    a_parts = []
+                    b_parts = []
                     for rr in range(zw):
-                        wzr = jnp.where(la == z0 + rr, 1.0 - wa,
-                                        jnp.where(la + 1 == z0 + rr, wa, 0.0))
-                        a_mat = wyt * wzr[:, None]
-                        if yw >= nb:
-                            b_mat = slab[0, z0 + rr, :, :]
+                        a_parts.append(wyt * wz_row(z0, rr)[:, None])
+                        if cw >= nc:
+                            b_parts.append(slab[0, z0 + rr,
+                                                pl.ds(y0, yw), :])
                         else:
-                            b_mat = slab[0, z0 + rr, pl.ds(y0, yw), :]
-                        v1 = v1 + jnp.dot(a_mat, b_mat,
-                                          precision=precision,
-                                          preferred_element_type=jnp.float32)
+                            b_parts.append(slab[0, z0 + rr, pl.ds(y0, yw),
+                                                pl.ds(c0, cw)])
+                    v1 = jnp.dot(jnp.concatenate(a_parts, axis=1),
+                                 jnp.concatenate(b_parts, axis=0),
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+                    wxt = _tent_lanes(lc, wc, cw)
                     return jnp.sum(v1 * wxt, axis=1)
+
+                def fits(zw, yw, cw):
+                    ok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
+                    if yw < nb:
+                        y0c = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
+                        ok = jnp.logical_and(ok, (b_hi - y0c) <= yw - 1)
+                    if cw < nc:
+                        c0c = (jnp.clip(c_lo, 0, nc - cw) // 128) * 128
+                        ok = jnp.logical_and(ok, (c_hi - c0c) <= cw - 1)
+                    return ok
 
                 if len(levels) == 1:
                     lvl = jnp.int32(0)
                     density = sample_level(*levels[0])
                 else:
-                    def fits(zw, yw):
-                        zok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
-                        if yw >= nb:
-                            yok = True
-                        else:
-                            y0c = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
-                            yok = (b_hi - y0c) <= yw - 1
-                        return jnp.logical_and(zok, yok)
-
                     lvl = jnp.int32(len(levels) - 1)
                     for i in range(len(levels) - 2, -1, -1):
                         lvl = jnp.where(fits(*levels[i]), jnp.int32(i), lvl)
                     density = jax.lax.switch(
-                        lvl, [functools.partial(sample_level, zw, yw)
-                              for (zw, yw) in levels])
+                        lvl, [functools.partial(sample_level, zw, yw, cw)
+                              for (zw, yw, cw) in levels])
 
-                # TF lookup (same ops as forward)
+                # TF lookup (same float ops as forward, transposed matmul)
                 t = (density - dmin) * inv_w
                 t = jnp.where(active, t, 0.0)  # NaN-voxel containment
                 x = t * float(ntf) - 0.5
@@ -762,17 +852,17 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                 wt = x - i0t
                 lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
                 hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
-                wtf = _tf_weights(lo, hi, wt, ntf)
-                rgba = jnp.dot(wtf, tft[:, :],
-                               precision=precision,
-                               preferred_element_type=jnp.float32)
-                a_raw = rgba[:, 3]
+                wtf_t = _tf_weights_t(lo, hi, wt, ntf)
+                rgba_t = jnp.dot(tft[:, :], wtf_t,
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+                a_raw = rgba_t[3, :]
                 clamped = a_raw > amax
                 a = jnp.where(active, jnp.minimum(a_raw, amax), 0.0)
 
                 # prefix-sum cotangents (core.fused.march_bwd, same order)
-                gc_dot_c = (g_r * rgba[:, 0] + g_g * rgba[:, 1]
-                            + g_b * rgba[:, 2])
+                gc_dot_c = (g_r * rgba_t[0, :] + g_g * rgba_t[1, :]
+                            + g_b * rgba_t[2, :])
                 ta = tr * a
                 p_k = ta * gc_dot_c
                 p_new = p + p_k
@@ -782,64 +872,75 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                 dL_da = jnp.where(active & jnp.logical_not(clamped),
                                   dL_da, 0.0)
                 act = jnp.where(active, 1.0, 0.0)
-                # (P, 8) cotangent built lane-by-lane with broadcasts (the
-                # same pattern as _tent_lanes) — jnp.stack of (P,) pieces
-                # is a lanes->sublanes transpose Mosaic cannot lay out
-                lanes8 = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
-                g_rgba8 = (
-                    jnp.where(lanes8 == 0, (ta * g_r * act)[:, None], 0.0)
-                    + jnp.where(lanes8 == 1, (ta * g_g * act)[:, None], 0.0)
-                    + jnp.where(lanes8 == 2, (ta * g_b * act)[:, None], 0.0)
-                    + jnp.where(lanes8 == 3, dL_da[:, None], 0.0))
+                # (8, P) cotangent built row-by-row with lane broadcasts
+                # (jnp.stack of (P,) pieces is a lanes->sublanes transpose
+                # Mosaic cannot lay out)
+                rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+                g8_t = (
+                    jnp.where(rows8 == 0, (ta * g_r * act)[None, :], 0.0)
+                    + jnp.where(rows8 == 1, (ta * g_g * act)[None, :], 0.0)
+                    + jnp.where(rows8 == 2, (ta * g_b * act)[None, :], 0.0)
+                    + jnp.where(rows8 == 3, dL_da[None, :], 0.0))
 
-                # TF-table gradient: transpose of the tent lookup
+                # TF-table gradient (transposed accumulator, (8, ntf)):
+                # contract over rays without materializing any transpose
                 tfg[:, :] += jax.lax.dot_general(
-                    wtf, g_rgba8, (((0,), (0,)), ((), ())),
+                    g8_t, wtf_t, (((1,), (1,)), ((), ())),
                     precision=precision,
                     preferred_element_type=jnp.float32)
 
                 # density cotangent via d rgba / dt = (tf[hi]-tf[lo]) * ntf
-                dwtf = (jnp.where(
-                            jax.lax.broadcasted_iota(
-                                jnp.int32, (P, ntf), 1) == hi[:, None],
-                            1.0, 0.0)
-                        - jnp.where(
-                            jax.lax.broadcasted_iota(
-                                jnp.int32, (P, ntf), 1) == lo[:, None],
-                            1.0, 0.0)) * float(ntf)
-                drgba8 = jnp.dot(dwtf, tft[:, :], precision=precision,
-                                 preferred_element_type=jnp.float32)
-                dL_dt = jnp.sum(g_rgba8 * drgba8, axis=1)
+                trows = jax.lax.broadcasted_iota(jnp.int32, (ntf, P), 0)
+                dwtf_t = (jnp.where(trows == hi[None, :], 1.0, 0.0)
+                          - jnp.where(trows == lo[None, :], 1.0, 0.0)
+                          ) * float(ntf)
+                drgba_t = jnp.dot(tft[:, :], dwtf_t, precision=precision,
+                                  preferred_element_type=jnp.float32)
+                dL_dt = jnp.sum(g8_t * drgba_t, axis=0)
                 dd = dL_dt * inv_w
                 dming_v = dming_v + dL_dt * (t - 1.0) * inv_w
                 dmaxg_v = dmaxg_v + dL_dt * (-t) * inv_w
 
                 # voxel-grid gradient: transpose of the tent matmuls,
                 # accumulated into the VMEM-resident gradient slab block
-                ddwxt = dd[:, None] * wxt
-
-                def scatter_level(zw, yw):
-                    y0, z0, wyt = level_geom(zw, yw)
-                    for rr in range(zw):
-                        wzr = jnp.where(la == z0 + rr, 1.0 - wa,
-                                        jnp.where(la + 1 == z0 + rr, wa, 0.0))
-                        a_mat = wyt * wzr[:, None]
-                        m = jax.lax.dot_general(
-                            a_mat, ddwxt, (((0,), (0,)), ((), ())),
-                            precision=precision,
-                            preferred_element_type=jnp.float32)
-                        if yw >= nb:
+                def scatter_level(zw, yw, cw):
+                    z0 = jnp.clip(a_lo, 0, rows - zw)
+                    if yw >= nb and cw >= nc:
+                        wyt = _tent_lanes(cb, wb, nb)
+                        ddwxt = dd[:, None] * _tent_lanes(cc, wc, nc)
+                        for rr in range(zw):
+                            a_mat = wyt * wz_row(z0, rr)[:, None]
+                            m = jax.lax.dot_general(
+                                a_mat, ddwxt, (((0,), (0,)), ((), ())),
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
                             volg[0, z0 + rr, :, :] += m
-                        else:
+                        return jnp.int32(0)
+                    y0, c0, lc = level_windows(yw, cw)
+                    wyt = _tent_lanes(cb - y0, wb, yw)
+                    ddwxt = dd[:, None] * _tent_lanes(lc, wc, cw)
+                    a_parts = [wyt * wz_row(z0, rr)[:, None]
+                               for rr in range(zw)]
+                    m_big = jax.lax.dot_general(
+                        jnp.concatenate(a_parts, axis=1), ddwxt,
+                        (((0,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                    for rr in range(zw):
+                        m = m_big[rr * yw:(rr + 1) * yw, :]
+                        if cw >= nc:
                             volg[0, z0 + rr, pl.ds(y0, yw), :] += m
+                        else:
+                            volg[0, z0 + rr, pl.ds(y0, yw),
+                                 pl.ds(c0, cw)] += m
                     return jnp.int32(0)
 
                 if len(levels) == 1:
                     scatter_level(*levels[0])
                 else:
                     jax.lax.switch(
-                        lvl, [functools.partial(scatter_level, zw, yw)
-                              for (zw, yw) in levels])
+                        lvl, [functools.partial(scatter_level, zw, yw, cw)
+                              for (zw, yw, cw) in levels])
 
                 tr = tr * (1.0 - a)
                 return tr, p_new, dming_v, dmaxg_v
@@ -892,14 +993,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
                           vmem_budget=_BWD_VMEM_BUDGET)
     n_slab = -(-na_dim // thick)
     rows = thick + 1
-
-    levels = []
-    if nb_dim >= 24 and rows > 4:
-        levels.append((min(4, rows), 16))
-    if nb_dim >= 64 and rows > 8:
-        levels.append((min(8, rows), 48))
-    levels.append((rows, nb_dim))
-    levels = tuple(levels)
+    levels = _make_levels(rows, nb_dim, nc_dim)
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
@@ -924,7 +1018,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, nb_dim, nc_dim), index_slab,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntf, 8), lambda s, t: (0, 0),
+            pl.BlockSpec((8, ntf), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda s, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -936,7 +1030,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rows, nb_dim, nc_dim), index_slab,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntf, 8), lambda s, t: (0, 0),
+            pl.BlockSpec((8, ntf), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda s, t: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -950,7 +1044,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
                    jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
                    jax.ShapeDtypeStruct((n_slab, rows, nb_dim, nc_dim),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((ntf, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((8, ntf), jnp.float32),
                    jax.ShapeDtypeStruct((1, 8), jnp.float32)),
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
@@ -979,7 +1073,8 @@ def make_slab_bwd(num_steps: int, step_size: float,
                                  g_alpha, big_g, tr_fin, zero_img, zero_img]
         rays = jnp.stack([_pack_tiles(r) for r in rows_data], axis=1)
 
-        tft = jnp.pad(tf_table.astype(jnp.float32), ((0, 0), (0, 4)))
+        # transposed (8, ntf): the kernels fetch via (8, ntf) @ (ntf, P)
+        tft = jnp.pad(tf_table.astype(jnp.float32), ((0, 0), (0, 4))).T
         state0 = jnp.zeros((n_tiles, 8, P), jnp.float32)
         state0 = state0.at[:, 0, :].set(1.0)  # transmittance
         flags0 = jnp.zeros((n_tiles, 1, 1), jnp.int32)
@@ -995,7 +1090,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
         halo_rows = thick * (jnp.arange(n_slab, dtype=jnp.int32) + 1)
         vg_p = vg_p.at[halo_rows].add(volg[:, thick])
         vol_g = jnp.transpose(vg_p[:na_dim], inv_perm)
-        return vol_g, tfg[:, :4], sg[0, 0], sg[0, 1]
+        return vol_g, tfg[:4, :].T, sg[0, 0], sg[0, 1]
 
     return backward
 
