@@ -189,6 +189,87 @@ def test_pallas_backward_orientations_and_et(yaw, pitch, et):
                                    atol=1e-4)
 
 
+def test_matches_oracle_wide_lane_volume():
+    """nc_dim > 128: exercises the 128-lane c-window level and its fits()
+    fallback in interpreter mode (otherwise only covered on hardware).
+    Thin (16, 32, 160) volume keeps the march cheap."""
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.random((16, 32, 160)), jnp.float32)
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(NTF))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 0.8, NTF))
+    cam = OrbitCamera.from_angles(yaw_deg=25.0, pitch_deg=15.0)
+    got, ref = _march(vol, tf, cam, h=16, w=32, steps=32)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_envelope_violations_rays():
+    """Hand-built rays opposing the slab direction must be counted; the
+    orbit camera can provably never produce any (wide FoV, close radius
+    included) — both facts pinned here, plus correct wide-FoV output."""
+    from volumetric_renderer_tpu.kernels.slab import (
+        count_envelope_violations, count_envelope_violations_rays,
+    )
+
+    # adversarial ray-level input: origin past the cube along +z (slab
+    # axis 0, forward), ray pointing back through the cube -> 1 violation
+    origin = jnp.asarray([0.5, 0.5, 2.0])
+    dirs = jnp.asarray([[[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]]])
+    assert count_envelope_violations_rays(origin, dirs, 0, False) == 1
+    assert count_envelope_violations_rays(origin, dirs, 0, True) == 0
+
+    # orbit cameras: zero violations across radius x FoV, incl. inside
+    # the cube (all rays miss via the t_entry >= 0 back-face-cull rule)
+    for radius in (0.3, 0.7, 0.95, 1.2, 3.0):
+        for fov in (40.0, 100.0, 150.0):
+            cam = OrbitCamera.from_angles(yaw_deg=33.0, pitch_deg=21.0,
+                                          radius=radius)
+            axis, reverse = choose_axis_from_camera(cam)
+            assert count_envelope_violations(
+                cam, 24, 24, axis, reverse, fov_y_degrees=fov) == 0, (
+                radius, fov)
+
+
+def test_wide_fov_close_camera_matches_oracle(scene):
+    """Extreme camera (radius 1.0, 120 deg FoV): the slab kernel must
+    produce the oracle's image, not silently drop pixels."""
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0, radius=1.0)
+    origin, dirs = ray_grid(cam, 24, 24, 120.0, 0.1, 10.0)
+    origin = origin + 0.5
+    dmin, dmax = jnp.float32(0.0), jnp.float32(1.0)
+    smin, smax = jnp.zeros(3), jnp.ones(3)
+    ref = march_rays(vol, tf, origin, dirs, density_min=dmin,
+                     density_max=dmax, slice_min=smin, slice_max=smax,
+                     num_steps=STEPS, step_size=STEP,
+                     early_termination=False, termination_eps=1 / 255.0)
+    axis, reverse = choose_axis_from_camera(cam)
+    marcher = make_slab_marcher(STEPS, STEP, False, 1 / 255.0,
+                                tuple(vol.shape), tf.shape[0], 24, 24,
+                                axis=axis, reverse=reverse, interpret=True)
+    got = marcher(vol, tf, origin, dirs, dmin, dmax, smin, smax)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_resolve_method_auto():
+    """auto -> fused on CPU and for traced cameras; (slab on TPU is
+    covered by the hardware bench, not CI)."""
+    import jax
+
+    from volumetric_renderer_tpu.render.api import resolve_method
+
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    if jax.default_backend() != "tpu":
+        assert resolve_method(cam) == "fused"
+
+    # auto must render without error whatever it resolves to
+    vol = Volume.synthetic_sphere(16).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(8))
+    s = RenderSettings(height=16, width=16, step_size=0.1)
+    ref = np.asarray(render(vol, tf, cam, s, method="oracle"))
+    got = np.asarray(render(vol, tf, cam, s, method="auto"))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 # -- unit tests of the kernel's building blocks ---------------------------
 
 def test_build_slabs_reconstructs_volume(scene):

@@ -86,8 +86,11 @@ def main(argv=None):
     ap.add_argument("--background", type=float, nargs=3,
                     default=(0.11, 0.11, 0.11))
     ap.add_argument("--no-early-termination", action="store_true")
-    ap.add_argument("--method", default="fused",
-                    choices=["fused", "oracle", "pallas"])
+    ap.add_argument("--method", default="auto",
+                    choices=["auto", "slab", "pallas", "blocked", "fused",
+                             "oracle"],
+                    help="auto = the production slab Pallas kernel on TPU, "
+                         "fused XLA elsewhere")
     ap.add_argument("--synthetic", action="store_true",
                     help="ignore dataset path; render the built-in sphere")
     args = ap.parse_args(argv)

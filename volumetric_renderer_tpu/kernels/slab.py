@@ -1115,6 +1115,54 @@ def build_slabs(vol: jnp.ndarray, axis: int = 0,
         for s in range(n_slab)])
 
 
+def count_envelope_violations_rays(origin, dirs, axis: int,
+                                   reverse: bool) -> int:
+    """Count cube-hitting rays that oppose the slab march direction.
+
+    The kernel composites slabs in one direction along the dominant axis;
+    a ray whose component along that axis has the opposite sign would be
+    composited back-to-front, so ``_prep_inputs`` masks it to a miss.
+    This counts such rays (in *texture space*: ``origin`` already +0.5)
+    so callers handing the kernel arbitrary rays can fail loudly instead
+    of silently dropping pixels.
+    """
+    from volumetric_renderer_tpu.core.sampling import ray_box_intersect
+
+    origin = np.asarray(origin)
+    dirs = np.asarray(dirs)
+    _, _, hit = ray_box_intersect(jnp.asarray(origin), jnp.asarray(dirs))
+    comp_a = 2 - _PERMS[axis][0]
+    sign = -1.0 if reverse else 1.0
+    bad = np.asarray(hit) & (dirs[..., comp_a] * sign < 0.0)
+    return int(bad.sum())
+
+
+def count_envelope_violations(camera, height: int, width: int,
+                              axis: int, reverse: bool,
+                              fov_y_degrees: float = 40.0,
+                              near: float = 0.1, far: float = 10.0) -> int:
+    """:func:`count_envelope_violations_rays` on a concrete camera's grid.
+
+    For the orbit-camera model this is provably always 0, at ANY FoV or
+    radius — not just the reference envelope (40 deg FoV, radius >= ~1.2,
+    ``camera.cpp:31-34``): the camera looks at the cube center, so the
+    dominant axis of the look direction is the axis of the camera's
+    largest |position| component; a camera *outside* the cube has that
+    component > 0.5, putting the entire cube strictly on one side along
+    the slab axis, so every camera->cube-point direction shares one sign;
+    a camera *inside* the cube hits nothing at all (``ray_box_intersect``
+    requires ``t_entry >= 0`` — the reference's back-face culling,
+    ``offscreen_pass.cpp:680``).  The check is kept as defense-in-depth
+    for the ray-level kernel API and any future non-orbit camera;
+    ``tests/test_slab.py`` pins both facts.
+    """
+    from volumetric_renderer_tpu.scene.camera import ray_grid
+
+    origin, dirs = ray_grid(camera, height, width, fov_y_degrees, near, far)
+    return count_envelope_violations_rays(np.asarray(origin) + 0.5,
+                                          np.asarray(dirs), axis, reverse)
+
+
 def choose_axis(camera_forward) -> tuple:
     """Pick (axis, reverse) from a *concrete* camera forward vector.
 
@@ -1187,7 +1235,11 @@ def make_slab_marcher(num_steps: int, step_size: float,
         return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax, out)
 
     if bwd == "slab":
-        # grads stay exact regardless of forward display precision
+        # The backward re-march always runs exact-precision matmuls, but
+        # with mode="fast" the saved forward output seeds the suffix term
+        # (big_g / tr_fin), so gradient accuracy is bounded by the
+        # forward's approximation error; grads are exact only when the
+        # forward is exact.
         bwd_fn = make_slab_bwd(num_steps, step_size, early_termination,
                                termination_eps, vol_shape, ntf, height,
                                width, axis=axis, reverse=reverse,

@@ -21,7 +21,12 @@ Methods:
     needs a concrete camera (slab order is a compile-time property).
     ``slab_mode="exact"`` matches the XLA paths to ~1e-6; ``"fast"``
     (bf16x3 matmuls) is ~1.7x faster at ~1e-3 error — under half an 8-bit
-    display quantum.  Backward delegates to the fused re-march.
+    display quantum.  Backward is the TPU-native Pallas slab backward
+    (``kernels.slab.make_slab_bwd``: re-march with VMEM-accumulated
+    voxel/TF gradient slabs).
+  * ``"auto"`` (default) — the production slab kernel when it applies
+    (TPU backend + concrete camera), otherwise ``"fused"``.  A TPU user
+    gets the fast path without knowing its name.
 """
 
 from __future__ import annotations
@@ -34,6 +39,24 @@ from volumetric_renderer_tpu.core.fused import make_fused_marcher
 from volumetric_renderer_tpu.core.marcher import march_rays
 from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
 from volumetric_renderer_tpu.utils.config import RenderSettings
+
+
+def resolve_method(camera) -> str:
+    """Resolve ``method="auto"``: the slab Pallas kernel when it applies
+    (TPU backend + a concrete camera to fix the slab order at trace time),
+    else the fused XLA path.  Mirrors what ``bench.py`` and
+    ``__graft_entry__`` pick by hand."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "fused"
+    try:
+        import numpy as _np
+
+        _np.asarray(camera.orientation)  # traced cameras raise here
+    except Exception:
+        return "fused"
+    return "slab"
 
 
 def _prep(vol, camera, settings, density_min, density_max, slice_min, slice_max):
@@ -69,7 +92,7 @@ def render(
     density_max=None,
     slice_min=None,
     slice_max=None,
-    method: str = "fused",
+    method: str = "auto",
     slab_mode: str = "exact",
     interpret: bool = False,
     tf_srgb: bool = False,
@@ -91,6 +114,18 @@ def render(
         from volumetric_renderer_tpu.utils.color import linearize_tf_table
 
         tf_table = linearize_tf_table(tf_table)
+    if method == "auto":
+        method = resolve_method(camera)
+        if method == "slab":
+            from volumetric_renderer_tpu.kernels.slab import (
+                choose_axis_from_camera, count_envelope_violations,
+            )
+
+            axis, reverse = choose_axis_from_camera(camera)
+            if count_envelope_violations(
+                    camera, settings.height, settings.width, axis, reverse,
+                    settings.fov_y_degrees, settings.near, settings.far):
+                method = "fused"  # auto never raises: quiet fallback
     origin, dirs, dmin, dmax, smin, smax = _prep(
         vol, camera, settings, density_min, density_max, slice_min, slice_max
     )
@@ -119,10 +154,20 @@ def render(
         return marcher(vol, tf_table, origin, dirs, dmin, dmax, smin, smax)
     if method in ("slab", "pallas"):
         from volumetric_renderer_tpu.kernels.slab import (
-            choose_axis_from_camera, make_slab_marcher,
+            choose_axis_from_camera, count_envelope_violations,
+            make_slab_marcher,
         )
 
         axis, reverse = choose_axis_from_camera(camera)
+        n_bad = count_envelope_violations(
+            camera, settings.height, settings.width, axis, reverse,
+            settings.fov_y_degrees, settings.near, settings.far)
+        if n_bad:
+            raise ValueError(
+                f"method='slab' cannot render this frame: {n_bad} "
+                "cube-hitting rays oppose the slab march direction "
+                "(camera too close to / inside the volume, or FoV too "
+                "wide).  Use method='fused' or 'blocked'.")
         marcher = make_slab_marcher(
             settings.num_steps, settings.step_size,
             settings.early_termination, settings.termination_eps,

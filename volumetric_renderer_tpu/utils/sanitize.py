@@ -72,8 +72,10 @@ def assert_deterministic(fn, *args, runs: int = 2):
     first_np = jax.tree.map(lambda x: x.copy(), jax.device_get(first))
     for _ in range(runs - 1):
         again = jax.device_get(fn(*args))
+        # per-position comparison: a != b is True at NaN positions even for
+        # bitwise-identical arrays, so exempt positions where BOTH are NaN
         mismatch = jax.tree.map(
-            lambda a, b: (a != b).any() and not ((a != a) & (b != b)).all(),
+            lambda a, b: bool(((a != b) & ~((a != a) & (b != b))).any()),
             first_np, again)
         if any(jax.tree.leaves(mismatch)):
             raise AssertionError("nondeterministic output across runs")
