@@ -145,6 +145,147 @@ def test_forward_has_no_collectives_backward_psums():
     assert "all-reduce" in bwd_hlo, "grid/TF gradient psum missing"
 
 
+SLAB_SETTINGS = RenderSettings(height=24, width=16, step_size=0.05,
+                               early_termination=False, tf_resolution=32)
+
+
+def slab_args(cam):
+    from volumetric_renderer_tpu.kernels.slab import choose_axis_from_camera
+
+    axis, reverse = choose_axis_from_camera(cam)
+    return dict(vol_shape=(12, 12, 12), slab_axis=axis,
+                slab_reverse=reverse, interpret=True)
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "cyclic"])
+def test_sharded_slab_forward_matches_unsharded(layout):
+    """The PRODUCTION kernel under the mesh (BASELINE config 5 path):
+    slab Pallas forward per shard, both row layouts, vs the unsharded
+    fused reference."""
+    mesh = make_mesh(jax.devices()[:8])
+    vol, tf, cam, fixed = scene()
+    want = unsharded_render(vol, tf, cam, fixed, settings=SLAB_SETTINGS)
+    render_fn = make_sharded_renderer(mesh, SLAB_SETTINGS, method="slab",
+                                      row_layout=layout, **slab_args(cam))
+    got = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                    fixed["smin"], fixed["smax"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sharded_slab_grads_match_unsharded():
+    """Grid/TF gradients through the Pallas slab backward + the vary_axes
+    psum (kernels/slab.py) == unsharded fused grads."""
+    mesh = make_mesh(jax.devices()[:8])
+    vol, tf, cam, fixed = scene()
+    render_fn = make_sharded_renderer(mesh, SLAB_SETTINGS, method="slab",
+                                      **slab_args(cam))
+
+    def loss_sharded(vol, tf):
+        img = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                        fixed["smin"], fixed["smax"])
+        return jnp.sum(jnp.sin(3.0 * img))
+
+    def loss_unsharded(vol, tf):
+        img = unsharded_render(vol, tf, cam, fixed, settings=SLAB_SETTINGS)
+        return jnp.sum(jnp.sin(3.0 * img))
+
+    gv_s, gt_s = jax.grad(loss_sharded, argnums=(0, 1))(vol, tf)
+    gv_u, gt_u = jax.grad(loss_unsharded, argnums=(0, 1))(vol, tf)
+    for s, u in ((gv_s, gv_u), (gt_s, gt_u)):
+        s, u = np.asarray(s), np.asarray(u)
+        np.testing.assert_allclose(s, u, rtol=0,
+                                   atol=2e-4 * np.abs(u).max())
+
+
+def test_sharded_slab_hlo_audit():
+    """Config-5 invariant on the PRODUCTION path: slab forward compiles to
+    zero collectives (cyclic layout with shard-order output — the training
+    configuration), backward carries the grid/TF all-reduce."""
+    mesh = make_mesh(jax.devices()[:8])
+    vol, tf, cam, fixed = scene()
+    render_fn = make_sharded_renderer(mesh, SLAB_SETTINGS, method="slab",
+                                      row_layout="cyclic",
+                                      permuted_output=True,
+                                      **slab_args(cam))
+    collectives = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+    fwd_hlo = render_fn.lower(
+        vol, tf, cam, fixed["dmin"], fixed["dmax"], fixed["smin"],
+        fixed["smax"]).compile().as_text()
+    found = [c for c in collectives if c in fwd_hlo]
+    assert not found, f"slab forward should be communication-free: {found}"
+
+    def loss(vol, tf):
+        img = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                        fixed["smin"], fixed["smax"])
+        return jnp.sum(img ** 2)
+
+    bwd_hlo = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(
+        vol, tf).compile().as_text()
+    assert "all-reduce" in bwd_hlo, "slab grid/TF gradient psum missing"
+
+
+def test_cyclic_row_layout_properties():
+    """Block-cyclic layout: a true permutation, 16-row blocks intact,
+    device d owns blocks d, d+n, d+2n, ... (the load-balance contract
+    used by the scaling artifact)."""
+    from volumetric_renderer_tpu.parallel.mesh import cyclic_row_layout
+
+    for h, n in [(1080, 8), (24, 8), (128, 4), (48, 3)]:
+        hp, perm, inv = cyclic_row_layout(h, n)
+        assert hp % (16 * n) == 0 and hp >= h
+        assert sorted(perm) == list(range(hp))
+        np.testing.assert_array_equal(perm[inv], np.arange(hp))
+        rows_per = hp // n
+        for d in range(n):
+            shard_rows = perm[d * rows_per:(d + 1) * rows_per]
+            blocks = shard_rows.reshape(-1, 16)
+            # whole blocks, in-block order preserved
+            np.testing.assert_array_equal(
+                blocks % 16, np.tile(np.arange(16), (len(blocks), 1)))
+            # round-robin: block indices d, d+n, d+2n, ...
+            np.testing.assert_array_equal(
+                blocks[:, 0] // 16, np.arange(d, hp // 16, n))
+
+
+def test_train_step_slab_method_decreases_loss():
+    """Config 3/4 through the PRODUCTION kernel: sharded slab fwd + Pallas
+    slab bwd + per-view orientation switch + cyclic layout."""
+    from volumetric_renderer_tpu.parallel.train import slab_axes_for_cameras
+
+    mesh = make_mesh(jax.devices()[:8])
+    settings = RenderSettings(height=16, width=16, step_size=0.1,
+                              early_termination=False, tf_resolution=32)
+    vol_gt, tf, _, fixed_win = scene(n=8)
+
+    # yaw 0 vs 90 look along different volume axes: exercises the
+    # lax.switch over per-orientation kernels
+    cams = [OrbitCamera.from_angles(yaw_deg=a, pitch_deg=15.0)
+            for a in (0.0, 90.0)]
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    codes, axes = slab_axes_for_cameras(cams)
+    assert len(axes) == 2, axes
+
+    render_fn = make_sharded_renderer(mesh, settings)
+    fixed = dict(vol=vol_gt, tf=tf, axis_codes=codes, **fixed_win)
+    targets = jnp.stack([
+        render_fn(vol_gt, tf, c, fixed["dmin"], fixed["dmax"],
+                  fixed["smin"], fixed["smax"]) for c in cams])
+
+    optimizer = optax.adam(5e-2)
+    step_fn = make_train_step(mesh, settings, optimizer,
+                              optimize_vol=True, optimize_tf=False,
+                              method="slab", vol_shape=vol_gt.shape,
+                              slab_axes=axes, interpret=True,
+                              row_layout="cyclic")
+    state = init_state(optimizer, dict(vol=jnp.full_like(vol_gt, 0.3)))
+    losses = []
+    for _ in range(6):
+        state, loss = step_fn(state, fixed, cameras, targets)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses
+
+
 def test_local_batch_bounds_partition(monkeypatch):
     """Host row ranges must tile [0, total) without gaps or overlap."""
     from volumetric_renderer_tpu.parallel import distributed

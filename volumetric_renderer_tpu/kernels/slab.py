@@ -527,13 +527,18 @@ def make_slab_renderer(num_steps: int, step_size: float,
                        early_termination: bool, termination_eps: float,
                        vol_shape: tuple, ntf: int, height: int, width: int,
                        axis: int = 0, reverse: bool = False,
-                       mode: str = "exact", interpret: bool = False):
+                       mode: str = "exact", interpret: bool = False,
+                       vary_axes: tuple = ()):
     """Build the jittable slab-kernel forward for a static configuration.
 
     ``axis``: dominant camera axis in volume terms (0=z, 1=y, 2=x) — all
     rays must march with a consistent sign along it (guaranteed for any
     outside-the-volume camera with diagonal FoV < ~70°; use
     ``choose_axis``).  ``reverse``: True when that component is negative.
+
+    ``vary_axes``: mesh axes this kernel runs under (inside ``shard_map``)
+    — its outputs are declared varying over them (vma) so JAX's
+    collective checker can verify the backward's psum placement.
 
     Returns ``f(slabs, tf_table, origin, dirs, dmin, dmax, smin, smax)
     -> rgba (H, W, 4)`` where ``slabs = build_slabs(vol, axis)``.
@@ -589,11 +594,14 @@ def make_slab_renderer(num_steps: int, step_size: float,
         ),
     )
 
+    vma = frozenset(vary_axes) if vary_axes else None
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32,
+                                        vma=vma),
+                   jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32,
+                                        vma=vma)),
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
     )
@@ -976,7 +984,8 @@ def make_slab_bwd(num_steps: int, step_size: float,
                   early_termination: bool, termination_eps: float,
                   vol_shape: tuple, ntf: int, height: int, width: int,
                   axis: int = 0, reverse: bool = False,
-                  mode: str = "exact", interpret: bool = False):
+                  mode: str = "exact", interpret: bool = False,
+                  vary_axes: tuple = ()):
     """Build the Pallas backward for a static configuration.
 
     Returns ``bwd(vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g)
@@ -1037,15 +1046,20 @@ def make_slab_bwd(num_steps: int, step_size: float,
         ),
     )
 
+    vma = frozenset(vary_axes) if vary_axes else None
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32,
+                                        vma=vma),
+                   jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32,
+                                        vma=vma),
+                   # per-shard partial gradients: varying until the
+                   # custom-VJP bwd psums them over the mesh
                    jax.ShapeDtypeStruct((n_slab, rows, nb_dim, nc_dim),
-                                        jnp.float32),
-                   jax.ShapeDtypeStruct((8, ntf), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 8), jnp.float32)),
+                                        jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((8, ntf), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((1, 8), jnp.float32, vma=vma)),
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
     )
@@ -1214,7 +1228,12 @@ def make_slab_marcher(num_steps: int, step_size: float,
     ``f(vol, tf, origin, dirs, dmin, dmax, smin, smax) -> rgba`` — the
     same contract as ``core.fused.make_fused_marcher``: the forward is the
     Pallas slab kernel (volume decomposed via :func:`build_slabs` under
-    jit).  ``bwd="slab"`` (default) runs the TPU-native Pallas backward
+    jit).  ``vary_axes`` names the mesh axes to psum grid/TF gradients
+    over when the marcher runs inside a ``shard_map`` with vma checking ON
+    (``check_vma=True``); under ``check_vma=False`` shard_map's transpose
+    psums replicated-input cotangents itself — pass ``vary_axes=()`` there
+    or gradients double-count (see ``parallel/render.py``).
+    ``bwd="slab"`` (default) runs the TPU-native Pallas backward
     (:func:`make_slab_bwd`: slab re-march, VMEM-accumulated voxel/TF
     gradients — the north-star custom VJP); ``bwd="fused"`` delegates to
     the XLA fused re-march (``core.fused``), kept as the semantics
@@ -1223,7 +1242,8 @@ def make_slab_marcher(num_steps: int, step_size: float,
     rend = make_slab_renderer(num_steps, step_size, early_termination,
                               termination_eps, vol_shape, ntf, height,
                               width, axis=axis, reverse=reverse,
-                              mode=mode, interpret=interpret)
+                              mode=mode, interpret=interpret,
+                              vary_axes=vary_axes)
 
     @jax.custom_vjp
     def march(vol, tf, origin, dirs, dmin, dmax, smin, smax):
@@ -1243,7 +1263,8 @@ def make_slab_marcher(num_steps: int, step_size: float,
         bwd_fn = make_slab_bwd(num_steps, step_size, early_termination,
                                termination_eps, vol_shape, ntf, height,
                                width, axis=axis, reverse=reverse,
-                               mode="exact", interpret=interpret)
+                               mode="exact", interpret=interpret,
+                               vary_axes=vary_axes)
 
         def march_bwd(res, g):
             vol, tf, origin, dirs, dmin, dmax, smin, smax, out = res

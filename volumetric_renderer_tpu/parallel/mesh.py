@@ -57,3 +57,28 @@ def pad_rows(h: int, mesh: Mesh) -> int:
     """Rows after padding ``h`` up to a multiple of the mesh size."""
     n = mesh.size
     return -(-h // n) * n
+
+
+def cyclic_row_layout(h: int, n_dev: int, block: int = 16):
+    """Block-cyclic row assignment for load balance.
+
+    A contiguous band split gives each chip one horizontal strip of the
+    frame; the strip containing the subject then becomes the critical
+    path (the volume sits mid-frame under the orbit camera) and scaling
+    efficiency collapses to ~t_subject_band/t_mean.  Assigning 16-row
+    blocks round-robin instead gives every chip a uniform sample of the
+    frame — ``block=16`` matches the slab kernel's tile height so ray
+    coherence inside each 16x16 tile is untouched.
+
+    Returns ``(hp, perm, inv)``: rows after padding to a multiple of
+    ``block * n_dev``, the permutation such that ``img[perm]`` is
+    shard-order (device d owns blocks d, d+n, d+2n, ...), and its
+    inverse (``img_shardorder[inv] == img``).
+    """
+    hp = -(-h // (block * n_dev)) * (block * n_dev)
+    n_blocks = hp // block
+    order = np.concatenate(
+        [np.arange(d, n_blocks, n_dev) for d in range(n_dev)])
+    perm = (order[:, None] * block + np.arange(block)[None, :]).reshape(-1)
+    inv = np.argsort(perm)
+    return hp, perm, inv

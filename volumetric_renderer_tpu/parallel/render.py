@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from volumetric_renderer_tpu.core.fused import make_fused_marcher
-from volumetric_renderer_tpu.parallel.mesh import pad_rows
+from volumetric_renderer_tpu.parallel.mesh import cyclic_row_layout, pad_rows
 from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
 from volumetric_renderer_tpu.utils.config import RenderSettings
 
@@ -27,7 +27,9 @@ from volumetric_renderer_tpu.utils.config import RenderSettings
 def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
                           *, vol_shape=None, slab_axis: int = 0,
                           slab_reverse: bool = False, slab_mode: str = "exact",
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          row_layout: str = "contiguous",
+                          permuted_output: bool = False):
     """Build ``f(vol, tf, camera, dmin, dmax, smin, smax) -> (H, W, 4)``
     jitted over ``mesh`` with image rows sharded on every mesh axis.
 
@@ -40,24 +42,50 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
     from it — pass ``vol_shape`` plus ``slab_axis``/``slab_reverse``
     (from ``kernels.slab.choose_axis_from_camera`` on the concrete
     camera).  Each shard tiles only its own row block, so the kernel's
-    grid shrinks with the mesh; grid/TF gradients still psum through the
-    delegated fused backward.
+    grid shrinks with the mesh; grid/TF gradients psum inside the slab
+    custom-VJP backward (``kernels/slab.py`` ``vary_axes``).
+
+    ``row_layout="cyclic"`` assigns 16-row blocks to devices round-robin
+    (see :func:`~volumetric_renderer_tpu.parallel.mesh.cyclic_row_layout`)
+    — the load-balanced layout that keeps every chip on an even sample of
+    the frame.  Restoring natural row order then costs one tiny image
+    shuffle at the end of the forward; pass ``permuted_output=True`` to
+    skip it and receive rows in shard order (``img[perm]``) — what the
+    training loss does, permuting targets instead (a free, replicated
+    gather), keeping the forward collective-free.
     """
+    h, w = settings.height, settings.width
+    n_dev = mesh.size
+    if row_layout == "cyclic":
+        hp, perm, inv = cyclic_row_layout(h, n_dev)
+    elif row_layout == "contiguous":
+        hp, perm, inv = pad_rows(h, mesh), None, None
+    else:
+        raise ValueError(f"unknown row_layout {row_layout!r}")
+
+    # vma checking cannot evaluate *interpreted* Pallas kernel bodies (the
+    # HLO interpreter mixes varying and replicated operands in the kernel's
+    # internal dynamic slices), so the interpret-mode slab path runs under
+    # check_vma=False.  The two regimes place the replicated-input gradient
+    # psum differently: with vma tracking ON, the custom VJP must psum
+    # explicitly (vary_axes) and shard_map inserts nothing; with it OFF,
+    # shard_map's transpose conservatively psums replicated-input
+    # cotangents itself, so an explicit psum would double-count (8x grads
+    # on an 8-device mesh — caught by tests/test_parallel.py).
+    check_vma = not (method in ("slab", "pallas") and interpret)
+
     if method in ("slab", "pallas"):
         from volumetric_renderer_tpu.kernels.slab import make_slab_marcher
         if vol_shape is None:
             raise ValueError("method='slab' needs vol_shape= (static)")
-        n_dev = 1
-        for ax in mesh.axis_names:
-            n_dev *= mesh.shape[ax]
-        hp = pad_rows(settings.height, mesh)
         marcher = make_slab_marcher(
             settings.num_steps, settings.step_size,
             settings.early_termination, settings.termination_eps,
             tuple(vol_shape), settings.tf_resolution,
             hp // n_dev, settings.width,
             axis=slab_axis, reverse=slab_reverse, mode=slab_mode,
-            interpret=interpret, vary_axes=tuple(mesh.axis_names),
+            interpret=interpret,
+            vary_axes=tuple(mesh.axis_names) if check_vma else (),
         )
     elif method == "blocked":
         from volumetric_renderer_tpu.core.blocked import make_blocked_marcher
@@ -73,8 +101,6 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
             vary_axes=tuple(mesh.axis_names),
         )
 
-    h, w = settings.height, settings.width
-    hp = pad_rows(h, mesh)
     axes = mesh.axis_names
     ray_spec = P(axes)          # rows sharded over every mesh axis
     rep = P()
@@ -86,12 +112,15 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
         marcher_shard, mesh=mesh,
         in_specs=(rep, rep, rep, ray_spec, rep, rep, rep, rep),
         out_specs=ray_spec,
+        check_vma=check_vma,
     )
 
-    # The output keeps row sharding only when rows divide the mesh evenly;
-    # with padding, the unpadded slice is not evenly shardable, so XLA
-    # picks the layout for the (cheap) final slice.
-    out_shard = NamedSharding(mesh, ray_spec) if hp == h else None
+    # The output keeps row sharding only when rows stay in shard order and
+    # divide the mesh evenly; otherwise XLA picks the layout for the
+    # (cheap) final slice/shuffle.
+    natural = perm is None or permuted_output
+    out_shard = (NamedSharding(mesh, ray_spec)
+                 if hp == h and natural else None)
 
     @functools.partial(
         jax.jit,
@@ -105,13 +134,22 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
         origin = origin + 0.5  # world cube [-0.5,0.5]^3 -> texture space
         if hp != h:
             # padded rays point straight up and miss the cube: dead weight
-            # only on the last shard, dropped before returning
+            # dropped (or left inert in permuted output) before returning
             pad = jnp.zeros((hp - h, w, 3), jnp.float32).at[..., 2].set(1.0)
             dirs = jnp.concatenate([dirs, pad], axis=0)
+        if perm is not None:
+            # static gather on replicated rays: free of communication
+            dirs = jnp.take(dirs, jnp.asarray(perm), axis=0)
         dirs = jax.lax.with_sharding_constraint(dirs, NamedSharding(mesh, ray_spec))
         img = sharded_march(vol, tf, origin, dirs, dmin, dmax, smin, smax)
+        if permuted_output:
+            return img          # (hp, W, 4) in shard order
+        if perm is not None:
+            img = jnp.take(img, jnp.asarray(inv), axis=0)
         return img[:h]
 
+    render_fn.row_perm = perm   # layout metadata for training/scaling
+    render_fn.padded_height = hp
     return render_fn
 
 

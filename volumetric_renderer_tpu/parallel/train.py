@@ -8,6 +8,18 @@ the TF table and the grid are parameters of a differentiable renderer.
 
 Sharding: pixels/tiles over the mesh (forward communication-free), grid/TF
 gradients all-reduced by the AD transpose of replication (psum over ICI).
+
+``method="slab"`` trains through the production Pallas kernel (forward
+slab kernel + Pallas slab backward, ``kernels/slab.py``).  The slab order
+is a compile-time property, and posed views look along different volume
+axes, so the step compiles one kernel per orientation the cameras need
+(:func:`slab_axes_for_cameras`) and ``lax.switch``es per view on a traced
+``axis_codes`` array carried in ``fixed``.
+
+``row_layout="cyclic"`` trains on shard-ordered images (16-row blocks
+round-robin over chips, the load-balanced layout) — the loss permutes the
+*targets* to match (a free static gather on replicated data), so the
+forward stays collective-free.
 """
 
 from __future__ import annotations
@@ -17,10 +29,11 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from volumetric_renderer_tpu.parallel.mesh import pad_rows
+from volumetric_renderer_tpu.parallel.mesh import cyclic_row_layout, pad_rows
 from volumetric_renderer_tpu.parallel.render import make_sharded_renderer
 from volumetric_renderer_tpu.utils.config import RenderSettings
 
@@ -31,18 +44,64 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def slab_axes_for_cameras(cams) -> tuple:
+    """Map concrete posed cameras to slab orientations.
+
+    Returns ``(axis_codes, slab_axes)``: ``slab_axes`` is the ordered
+    tuple of unique ``(axis, reverse)`` pairs the views need (one compiled
+    kernel each), ``axis_codes`` an ``(V,)`` int32 array indexing into it
+    per view — the traced selector for the per-view ``lax.switch``.
+    """
+    from volumetric_renderer_tpu.kernels.slab import choose_axis_from_camera
+
+    pairs = [choose_axis_from_camera(c) for c in cams]
+    uniq = sorted(set(pairs))
+    codes = np.asarray([uniq.index(p) for p in pairs], np.int32)
+    return jnp.asarray(codes), tuple(uniq)
+
+
 def make_train_step(mesh, settings: RenderSettings, optimizer,
                     *, optimize_vol: bool, optimize_tf: bool,
-                    method: str = "fused"):
+                    method: str = "fused", vol_shape=None,
+                    slab_axes: tuple = (), slab_mode: str = "exact",
+                    interpret: bool = False,
+                    row_layout: str = "contiguous"):
     """Build ``(state, fixed, cameras, targets) -> (state, loss)``.
 
     ``cameras`` is an ``OrbitCamera`` pytree with a leading batch axis (one
     entry per posed view; batch=1 for TF-fit).  ``targets`` is
     ``(V, H, W, 4)``.  ``fixed`` carries whichever of vol/tf is not being
-    optimized plus the density window.  Views are scanned (grid gradients
-    accumulate across views); pixels within a view are mesh-sharded.
+    optimized plus the density window — and, for ``method="slab"``, the
+    per-view ``axis_codes`` from :func:`slab_axes_for_cameras`.  Views are
+    scanned (grid gradients accumulate across views); pixels within a view
+    are mesh-sharded.
     """
-    render_fn = make_sharded_renderer(mesh, settings, method)
+    h, w = settings.height, settings.width
+    cyclic = row_layout == "cyclic"
+    if cyclic:
+        hp, perm, _ = cyclic_row_layout(h, mesh.size)
+        perm = jnp.asarray(perm)
+        # shard-order rows drawn from the padding are inert in the image
+        # but must not enter the loss
+        valid = jnp.asarray(np.asarray(perm) < h, jnp.float32)[:, None, None]
+
+    common = dict(row_layout=row_layout, permuted_output=cyclic)
+    if method in ("slab", "pallas"):
+        if not slab_axes:
+            raise ValueError("method='slab' needs slab_axes= "
+                             "(slab_axes_for_cameras on the posed views)")
+        if vol_shape is None:
+            raise ValueError("method='slab' needs vol_shape= (static)")
+        render_fns = [
+            make_sharded_renderer(mesh, settings, "slab",
+                                  vol_shape=tuple(vol_shape), slab_axis=a,
+                                  slab_reverse=r, slab_mode=slab_mode,
+                                  interpret=interpret, **common)
+            for (a, r) in slab_axes
+        ]
+    else:
+        render_fns = [make_sharded_renderer(mesh, settings, method,
+                                            **common)]
 
     def loss_fn(params, fixed, cameras, targets):
         vol = params["vol"] if optimize_vol else fixed["vol"]
@@ -51,8 +110,22 @@ def make_train_step(mesh, settings: RenderSettings, optimizer,
         def one_view(i, carry):
             cam = jax.tree.map(lambda x: x[i], cameras)
             target = targets[i]
-            img = render_fn(vol, tf, cam, fixed["dmin"], fixed["dmax"],
-                            fixed["smin"], fixed["smax"])
+            fargs = (vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                     fixed["smin"], fixed["smax"])
+            if len(render_fns) == 1:
+                img = render_fns[0](*fargs)
+            else:
+                # pick the kernel compiled for this view's slab orientation
+                img = jax.lax.switch(
+                    fixed["axis_codes"][i],
+                    [functools.partial(f, *fargs) for f in render_fns])
+            if cyclic:
+                # permute the replicated target into shard order (static
+                # gather, no communication) and mask padding rows
+                tp = jnp.take(jnp.pad(target, ((0, hp - h), (0, 0), (0, 0))),
+                              perm, axis=0)
+                sq = ((img - tp) ** 2) * valid
+                return carry + jnp.sum(sq) / float(h * w * 4)
             return carry + jnp.mean((img - target) ** 2)
 
         # fori_loop, NOT lax.scan — scan bodies containing the gather-heavy
