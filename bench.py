@@ -68,6 +68,65 @@ def time_renders(fn, vol, tf, iters):
     return float(np.median(times))
 
 
+def bench_grad(args, settings, grid_n, h, w, steps):
+    """Training-path benchmark: fwd and fwd+bwd wall time through the
+    production kernel (slab forward + Pallas slab backward, grid + TF
+    gradients — BASELINE configs 3-4 inner loop).  One JSON line with
+    fwd_ms / fwd_bwd_ms sidecar keys."""
+    from volumetric_renderer_tpu.data.volume import Volume
+    from volumetric_renderer_tpu.kernels.slab import (
+        choose_axis_from_camera, make_slab_marcher,
+    )
+    from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
+    from volumetric_renderer_tpu.transfer.gradient import Gradient
+
+    tf_n = 256
+    vol = Volume.synthetic_sphere(grid_n).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(tf_n))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, tf_n) ** 2)
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    axis, reverse = choose_axis_from_camera(cam)
+    interpret = jax.default_backend() != "tpu"
+    marcher = make_slab_marcher(
+        steps, settings.step_size, settings.early_termination,
+        settings.termination_eps, tuple(vol.shape), tf_n, h, w,
+        axis=axis, reverse=reverse, mode=args.slab_mode,
+        interpret=interpret, bwd="slab")
+    origin, dirs = ray_grid(cam, h, w)
+    origin = origin + 0.5
+    scal = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
+
+    fwd = jax.jit(lambda v, t: marcher(v, t, origin, dirs, *scal))
+    grad = jax.jit(jax.value_and_grad(
+        lambda v, t: jnp.mean(marcher(v, t, origin, dirs, *scal) ** 2),
+        argnums=(0, 1)))
+
+    def timeit(f):
+        jax.block_until_ready(f(vol, tf))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(vol, tf))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_fwd = timeit(fwd)
+    t_fb = timeit(grad)
+    rays = h * w
+    print(f"# fwd {t_fwd*1e3:.1f} ms, fwd+bwd {t_fb*1e3:.1f} ms "
+          f"(bwd/fwd = {(t_fb-t_fwd)/t_fwd:.2f}x) -> "
+          f"{rays/t_fb:,.0f} train rays/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"train_rays_per_sec_per_chip_{grid_n}cubed_"
+                  f"{w}x{h}_{steps}steps",
+        "value": rays / t_fb,
+        "unit": "rays/s",
+        "vs_baseline": t_fb / t_fwd,   # fwd+bwd cost in forwards
+        "fwd_ms": round(t_fwd * 1e3, 1),
+        "fwd_bwd_ms": round(t_fb * 1e3, 1),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -80,6 +139,15 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the oracle baseline measurement")
+    ap.add_argument("--grid", type=int, default=256,
+                    help="volume resolution (512 = BASELINE config-5 "
+                         "scale: the 512 MiB grid streams through VMEM "
+                         "in z-slabs)")
+    ap.add_argument("--grad", action="store_true",
+                    help="benchmark the training path instead: "
+                         "value_and_grad through the slab forward + "
+                         "Pallas slab backward (grid+TF gradients); "
+                         "emits fwd_ms / fwd_bwd_ms / train rays/s")
     args = ap.parse_args()
 
     from volumetric_renderer_tpu.utils.config import RenderSettings
@@ -87,14 +155,19 @@ def main():
     if args.quick:
         h, w, steps, grid_n = 256, 256, 128, 64
     else:
-        h, w, steps, grid_n = 1080, 1920, 512, 256
+        h, w, steps, grid_n = 1080, 1920, 512, args.grid
 
     settings = RenderSettings(height=h, width=w, step_size=1.8 / steps,
                               early_termination=True)
     dev = jax.devices()[0]
     print(f"# device={dev.device_kind} platform={dev.platform} "
           f"workload={grid_n}^3 grid, {w}x{h}, {steps} steps, "
-          f"method={args.method}", file=sys.stderr)
+          f"method={args.method}{' (grad)' if args.grad else ''}",
+          file=sys.stderr)
+
+    if args.grad:
+        bench_grad(args, settings, grid_n, h, w, steps)
+        return
 
     fn, vol, tf = build(args.method, settings, grid_n,
                         slab_mode=args.slab_mode)
@@ -119,12 +192,17 @@ def main():
         print(f"# oracle baseline ({bh}x{w}): {t_base*1e3:.1f} ms -> "
               f"{base_rays_per_s:,.0f} rays/s", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": f"rays_per_sec_per_chip_{grid_n}cubed_{w}x{h}_{steps}steps",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": ratio,
-    }))
+    }
+    if grid_n >= 512:
+        # config-5 scale sidecar: replication headroom arithmetic
+        hbm_gib = grid_n ** 3 * 4 / 2 ** 30
+        out["grid_bytes_gib"] = round(hbm_gib, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -123,3 +123,68 @@ def test_benchmark_harness(capsys):
     data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert data["scaling"][0]["devices"] == 1
     assert data["scaling"][-1]["efficiency"] > 0
+
+
+def test_optimize_slab_method_smoke(tmp_path):
+    """Config-4 loop through the production kernel (interpret on CPU)."""
+    from volumetric_renderer_tpu.apps.optimize import main
+    out = str(tmp_path / "vol.npy")
+    main(["invert", "--grid", "8", "--size", "24x24", "--march-steps", "12",
+          "--views", "2", "--steps-opt", "3", "--tf-resolution", "32",
+          "--method", "slab", "--out", out])
+    assert os.path.exists(out)
+
+
+def test_ablation_harness(capsys, monkeypatch):
+    """Early-termination ablation produces speedup ratios (tiny shapes)."""
+    from volumetric_renderer_tpu.apps import ablation
+    from volumetric_renderer_tpu import models
+
+    # shrink the config-2 workload for CI: small phantom, image, steps
+    orig = models.head_phantom
+    monkeypatch.setattr(models, "head_phantom", lambda n=128: orig(16))
+    ablation.main(["--iters", "1", "--skip-flagship", "--size", "24x24",
+                   "--steps", "12", "--methods", "fused"])
+    data = json.loads(capsys.readouterr().out.strip())
+    w = data["workloads"]["config2_head_phantom"]
+    assert "et_speedup_fused" in w and w["fused_eton"]["rays_per_s"] > 0
+
+
+def test_viewer_state_machine():
+    """Headless viewer logic: drag orbits (sensitivity 0.25 inside
+    OrbitCamera), scroll zooms with the reference radius clamp, reset
+    restores; every event triggers exactly one re-render."""
+    from volumetric_renderer_tpu.apps.viewer import ViewerState
+    from volumetric_renderer_tpu.scene.camera import OrbitCamera
+
+    calls = []
+
+    def render_frame(cam):
+        calls.append(np.asarray(cam.orientation))
+        return np.zeros((8, 8, 3), np.float32)
+
+    cam0 = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    st = ViewerState(render_frame, cam0)
+    st.frame()
+    assert st.last_rays_per_s > 0
+
+    assert not st.drag(10, 10)          # no press yet
+    st.press(0, 0)
+    assert st.drag(40, 0)               # 40px drag = 10 deg yaw
+    want = cam0.rotate((40.0, 0.0))
+    np.testing.assert_allclose(np.asarray(st.camera.orientation),
+                               np.asarray(want.orientation), atol=1e-6)
+    st.release()
+    assert not st.drag(50, 0)
+
+    r0 = float(st.camera.radius)
+    st.scroll(1)                        # wheel up zooms in
+    assert float(st.camera.radius) < r0
+    for _ in range(100):
+        st.scroll(1)
+    np.testing.assert_allclose(float(st.camera.radius), 0.1,
+                               rtol=1e-6)      # camera.cpp:31-34 clamp
+
+    st.reset()
+    np.testing.assert_allclose(np.asarray(st.camera.orientation),
+                               np.asarray(cam0.orientation))

@@ -126,3 +126,27 @@ def test_render_api_fused_matches_oracle_with_grad():
     g_o = np.asarray(jax.grad(lo)(vol))
     g_f = np.asarray(jax.grad(lf)(vol))
     assert np.abs(g_f - g_o).max() < 1e-4 * max(np.abs(g_o).max(), 1.0)
+
+
+def test_axis_parallel_miss_ray_grads_finite():
+    """An axis-parallel ray that misses the cube produces t_entry = +/-inf
+    in the slab test; its inf*0 = NaN entry point must not poison voxel
+    gradients (0 * NaN leaks through activity masks because int32(NaN)
+    can cast in-bounds).  Regression for the cyclic-layout pad rays."""
+    import jax
+
+    from volumetric_renderer_tpu.data.volume import Volume
+
+    vol = Volume.synthetic_sphere(8).as_jax()
+    tf = jnp.asarray(np.linspace(0, 1, 32 * 4, dtype=np.float32)
+                     .reshape(32, 4))
+    origin = jnp.asarray([0.5, -2.32, 1.53])   # above the cube
+    dirs = jnp.asarray([[[0.0, 0.0, 1.0]]])    # straight up: a miss
+    args4 = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
+    m = make_fused_marcher(12, 1.8 / 12, False, 1 / 255.0)
+    out = m(vol, tf, origin, dirs, *args4)
+    np.testing.assert_array_equal(np.asarray(out).ravel(), 0.0)
+    gv, gt = jax.grad(
+        lambda v, t: jnp.sum(m(v, t, origin, dirs, *args4) ** 2),
+        argnums=(0, 1))(vol, tf)
+    assert bool(jnp.isfinite(gv).all()) and bool(jnp.isfinite(gt).all())

@@ -157,7 +157,7 @@ def slab_args(cam):
                 slab_reverse=reverse, interpret=True)
 
 
-@pytest.mark.parametrize("layout", ["contiguous", "cyclic"])
+@pytest.mark.parametrize("layout", ["contiguous", "cyclic", "tile-cyclic"])
 def test_sharded_slab_forward_matches_unsharded(layout):
     """The PRODUCTION kernel under the mesh (BASELINE config 5 path):
     slab Pallas forward per shard, both row layouts, vs the unsharded
@@ -225,6 +225,29 @@ def test_sharded_slab_hlo_audit():
     assert "all-reduce" in bwd_hlo, "slab grid/TF gradient psum missing"
 
 
+@pytest.mark.parametrize("layout", ["contiguous", "cyclic", "tile-cyclic"])
+@pytest.mark.parametrize("hw", [(24, 16), (30, 20), (48, 48)])
+def test_make_layout_roundtrip(layout, hw):
+    """pack -> unpack is the identity on any (H, W, C); valid marks
+    exactly the true pixels (pack of ones == valid)."""
+    from volumetric_renderer_tpu.parallel.mesh import make_layout
+
+    h, w = hw
+    for n in (3, 8):
+        gh, gw, pack, unpack, valid = make_layout(layout, h, w, n)
+        assert gh % n == 0
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((h, w, 4)), jnp.float32)
+        packed = pack(img)
+        assert packed.shape == (gh, gw, 4)
+        np.testing.assert_array_equal(np.asarray(unpack(packed)),
+                                      np.asarray(img))
+        np.testing.assert_array_equal(
+            np.asarray(pack(jnp.ones((h, w), jnp.float32))),
+            np.asarray(valid))
+        assert float(valid.sum()) == h * w
+
+
 def test_cyclic_row_layout_properties():
     """Block-cyclic layout: a true permutation, 16-row blocks intact,
     device d owns blocks d, d+n, d+2n, ... (the load-balance contract
@@ -277,7 +300,7 @@ def test_train_step_slab_method_decreases_loss():
                               optimize_vol=True, optimize_tf=False,
                               method="slab", vol_shape=vol_gt.shape,
                               slab_axes=axes, interpret=True,
-                              row_layout="cyclic")
+                              row_layout="tile-cyclic")
     state = init_state(optimizer, dict(vol=jnp.full_like(vol_gt, 0.3)))
     losses = []
     for _ in range(6):

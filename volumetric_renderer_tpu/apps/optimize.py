@@ -46,6 +46,17 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="save result (.npy)")
+    ap.add_argument("--method", default="auto",
+                    choices=["auto", "slab", "fused", "blocked"],
+                    help="auto = the production slab Pallas kernel on "
+                         "TPU (fwd + Pallas bwd), fused XLA elsewhere")
+    ap.add_argument("--row-layout", default="tile-cyclic",
+                    choices=["tile-cyclic", "cyclic", "contiguous"],
+                    help="pixel distribution over the mesh (tile-cyclic = "
+                         "16x16 tiles round-robin, the load-balanced "
+                         "production layout per SCALING_r03)")
+    ap.add_argument("--slab-mode", default="exact",
+                    choices=["exact", "fast"])
     args = ap.parse_args(argv)
 
     import jax
@@ -91,10 +102,29 @@ def main(argv=None):
             for a in yaws]
     cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
 
+    method = args.method
+    if method == "auto":
+        method = "slab" if jax.default_backend() == "tpu" else "fused"
+    print(f"method: {method} ({args.row_layout} row layout)",
+          file=sys.stderr)
+
     fixed = dict(vol=vol_gt, tf=tf_gt,
                  dmin=jnp.float32(jnp.min(vol_gt)),
                  dmax=jnp.float32(jnp.max(vol_gt)),
                  smin=jnp.zeros(3), smax=jnp.ones(3))
+
+    train_kw = dict(method=method, row_layout=args.row_layout)
+    if method == "slab":
+        from volumetric_renderer_tpu.parallel.train import (
+            slab_axes_for_cameras,
+        )
+
+        codes, slab_axes = slab_axes_for_cameras(cams)
+        fixed["axis_codes"] = codes
+        train_kw.update(vol_shape=tuple(vol_gt.shape), slab_axes=slab_axes,
+                        slab_mode=args.slab_mode,
+                        interpret=jax.default_backend() != "tpu")
+        print(f"slab orientations: {slab_axes}", file=sys.stderr)
 
     timers = PhaseTimers()
     render_fn = make_sharded_renderer(mesh, settings)
@@ -109,7 +139,7 @@ def main(argv=None):
     optimizer = optax.adam(args.lr)
     step_fn = make_train_step(mesh, settings, optimizer,
                               optimize_vol=optimize_vol,
-                              optimize_tf=optimize_tf)
+                              optimize_tf=optimize_tf, **train_kw)
 
     params = {}
     if optimize_vol:

@@ -1,0 +1,176 @@
+"""Honest single-chip strong-scaling emulation for the sharded renderer.
+
+Only one TPU chip is physically present in this rig, so multi-chip wall
+clock cannot be measured directly.  What CAN be measured honestly:
+
+* The sharded forward is communication-free — an HLO-level invariant
+  asserted in ``tests/test_parallel.py`` (forward compiles to zero
+  collectives on the production slab path).  An N-chip mesh therefore
+  renders a frame in ``max`` over the per-chip row-band times, plus no
+  communication: the *critical path* is the slowest band.
+* Each band's time is measurable on the one chip by handing the
+  production kernel exactly the rays that band owns
+  (``parallel/render.py`` distributes contiguous bands of the SAME
+  frame's ray grid — or 16-row blocks round-robin with
+  ``row_layout="cyclic"`` — not a rescaled frame; the round-2 artifact's
+  mistake was re-deriving the grid at 1080/N rows, which distorts the
+  camera frustum and made "efficiency" super-linear).
+
+So:  ``efficiency(N) = t_full / (N * max_band_time(N))``.
+
+Contiguous bands are load-imbalanced — the subject sits mid-frame under
+the orbit camera, so the middle band pays for most of the march while the
+top/bottom bands exit early — which is exactly what the block-cyclic
+layout fixes (each chip gets a uniform sample of the frame; intra-tile
+ray coherence is untouched because blocks are whole 16-row kernel tiles).
+This app times both and writes the comparison.
+
+    python -m volumetric_renderer_tpu.apps.scaling --out SCALING_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid", type=int, default=256)
+    ap.add_argument("--size", default="1920x1080")
+    ap.add_argument("--steps", type=int, default=512)
+    ap.add_argument("--tf-resolution", type=int, default=256)
+    ap.add_argument("--slab-mode", default="fast", choices=["exact", "fast"])
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="64^3 / 256x256 / 128 steps for smoke testing")
+    ap.add_argument("--out", default=None, help="write JSON here")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from volumetric_renderer_tpu.data.volume import Volume
+    from volumetric_renderer_tpu.kernels.slab import (
+        choose_axis_from_camera, make_slab_marcher,
+    )
+    from volumetric_renderer_tpu.parallel.mesh import make_layout
+    from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
+    from volumetric_renderer_tpu.transfer.gradient import Gradient
+
+    if args.quick:
+        w, h, steps, grid_n = 256, 256, 128, 64
+    else:
+        w, h = (int(v) for v in args.size.split("x"))
+        steps, grid_n = args.steps, args.grid
+    step_size = 1.8 / steps
+    ntf = args.tf_resolution
+    interpret = jax.default_backend() != "tpu"
+
+    vol = Volume.synthetic_sphere(grid_n).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(ntf))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, ntf) ** 2)  # bench TF
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    axis, reverse = choose_axis_from_camera(cam)
+    origin, dirs = ray_grid(cam, h, w)
+    origin = origin + 0.5
+    scal = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
+
+    def build(band_h, band_w):
+        return make_slab_marcher(steps, step_size, True, 1.0 / 255.0,
+                                 tuple(vol.shape), ntf, band_h, band_w,
+                                 axis=axis, reverse=reverse,
+                                 mode=args.slab_mode, interpret=interpret)
+
+    def timed(marcher, band_dirs):
+        f = jax.jit(lambda v, t, d: marcher(v, t, origin, d, *scal))
+        jax.block_until_ready(f(vol, tf, band_dirs))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(vol, tf, band_dirs))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    dev = jax.devices()[0]
+    print(f"# device={dev.device_kind} workload={grid_n}^3, {w}x{h}, "
+          f"{steps} steps, slab-{args.slab_mode}, ET on", file=sys.stderr)
+
+    t_full = timed(build(h, w), dirs)
+    # dispatch floor: one all-miss 16x16 render = per-call host dispatch
+    # + fixed kernel sweep cost.  The emulation pays it once PER BAND
+    # (N sequential calls on one chip); a real mesh dispatches ONCE, so
+    # an adjusted efficiency subtracting it from band times is reported
+    # alongside the raw number.
+    miss_dirs = jnp.zeros((16, 16, 3), jnp.float32).at[..., 2].set(1.0)
+    t_floor = timed(build(16, 16), miss_dirs)
+    print(f"# full frame: {t_full*1e3:.1f} ms, dispatch floor "
+          f"{t_floor*1e3:.1f} ms", file=sys.stderr)
+
+    results = []
+    for n in args.devices:
+        if n == 1:
+            results.append(dict(devices=1, layouts={"full": dict(
+                band_ms=[round(t_full * 1e3, 2)], efficiency=1.0)}))
+            continue
+        entry = dict(devices=n, layouts={})
+        for layout in ("contiguous", "cyclic", "tile-cyclic"):
+            gh, gw, pack, _, valid = make_layout(layout, h, w, n)
+            band_h = gh // n
+            dirs_g = pack(dirs)
+            dirs_g = jnp.where(valid[..., None] > 0.0, dirs_g,
+                               jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+            marcher = build(band_h, gw)
+            band_ms = []
+            for d in range(n):
+                band_dirs = dirs_g[d * band_h:(d + 1) * band_h]
+                band_ms.append(timed(marcher, band_dirs) * 1e3)
+            eff = (t_full * 1e3) / (n * max(band_ms))
+            eff_adj = (t_full * 1e3) / (
+                n * max(b - t_floor * 1e3 for b in band_ms)
+                + t_floor * 1e3)
+            entry["layouts"][layout] = dict(
+                band_ms=[round(b, 2) for b in band_ms],
+                max_band_ms=round(max(band_ms), 2),
+                efficiency=round(eff, 4),
+                efficiency_dispatch_adjusted=round(eff_adj, 4))
+            print(f"# N={n} {layout}: bands "
+                  f"{['%.0f' % b for b in band_ms]} -> eff {eff:.3f} "
+                  f"(adj {eff_adj:.3f})", file=sys.stderr)
+        results.append(entry)
+
+    out = dict(
+        method=("single-chip strong-scaling emulation: each band renders "
+                "the rays an N-chip mesh shard owns (a subset of the SAME "
+                "frame's ray grid in the shard-order layout of "
+                "parallel/mesh.make_layout); the sharded forward is "
+                "communication-free (HLO audit, tests/test_parallel.py), "
+                "so mesh frame time = max band time and efficiency = "
+                "t_full / (N * max_band).  efficiency_dispatch_adjusted "
+                "additionally removes the measured per-call dispatch "
+                "floor from each band, since the emulation dispatches N "
+                "sequential kernels where a real mesh dispatches one. "
+                "Backward psum cost is not included (one chip); its "
+                "size/overlap arithmetic is in docs/PARITY.md."),
+        workload=f"{grid_n}^3 grid, {w}x{h}, {steps} steps, "
+                 f"slab-{args.slab_mode}, early termination on",
+        device=str(dev.device_kind),
+        t_full_ms=round(t_full * 1e3, 2),
+        dispatch_floor_ms=round(t_floor * 1e3, 2),
+        emulated_strong_scaling=results,
+    )
+    text = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(args.out)
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,4 +137,11 @@ def ray_box_intersect(origin: jnp.ndarray, dirs: jnp.ndarray,
     t_entry = jnp.max(t_near, axis=-1)
     t_exit = jnp.min(t_far, axis=-1)
     hit = (t_entry <= t_exit) & (t_entry >= 0.0)
+    # Miss rays can carry t = +/-inf (axis-parallel dirs); downstream
+    # ``origin + t_entry * dirs`` would produce inf*0 = NaN entry points
+    # whose *weights* poison gradients even under activity masking (an
+    # int32 cast of NaN can land in-bounds, and 0 * NaN = NaN in the
+    # scatter).  Misses park at t = 0 (pos = origin, outside the cube).
+    t_entry = jnp.where(hit, t_entry, 0.0)
+    t_exit = jnp.where(hit, t_exit, 0.0)
     return t_entry, t_exit, hit

@@ -392,8 +392,18 @@ def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=9 * 2 ** 20):
 
 
 # The backward keeps FOUR slab-sized buffers live (double-buffered volume
-# slab in + double-buffered gradient slab out), so its slabs are thinner.
-_BWD_VMEM_BUDGET = 4 * 2 ** 20
+# slab in + double-buffered gradient slab out), so its slabs are thinner
+# than the forward's: budget B => 2 slabs of B/2 => 4 buffers = 2B, ~12 MiB
+# of the ~16 MiB VMEM.  Thicker slabs mean fewer sweeps of the per-tile
+# state and less step duplication at slab boundaries (a tile's k-interval
+# is conservative, so steps near a boundary run in both adjacent slabs).
+_BWD_VMEM_BUDGET = 6 * 2 ** 20
+
+_PRECISIONS = {
+    "exact": jax.lax.Precision.HIGHEST,   # bf16x6: reproduces f32
+    "high": jax.lax.Precision.HIGH,       # bf16x3: ~1e-6 rel error, 2x faster
+    "fast": jax.lax.Precision.DEFAULT,    # bf16x1: ~5e-4, fastest
+}
 
 
 def _make_levels(rows, nb_dim, nc_dim):
@@ -559,8 +569,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
     # pts component index for each kernel axis (pts[...,0]=x ~ vol axis 2)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
 
-    precision = (jax.lax.Precision.HIGHEST if mode == "exact"
-                 else jax.lax.Precision.DEFAULT)
+    precision = _PRECISIONS[mode]
     kernel = _make_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
                           n_steps_static=num_steps, levels=levels,
                           precision=precision)
@@ -1006,8 +1015,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
-    precision = (jax.lax.Precision.HIGHEST if mode == "exact"
-                 else jax.lax.Precision.DEFAULT)
+    precision = _PRECISIONS[mode]
     kernel = _make_bwd_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
                               levels=levels, precision=precision)
 
@@ -1222,7 +1230,8 @@ def make_slab_marcher(num_steps: int, step_size: float,
                       vol_shape: tuple, ntf: int, height: int, width: int,
                       axis: int = 0, reverse: bool = False,
                       mode: str = "exact", interpret: bool = False,
-                      vary_axes: tuple = (), bwd: str = "slab"):
+                      vary_axes: tuple = (), bwd: str = "slab",
+                      bwd_mode: str = "exact"):
     """Slab kernel with the standard marcher signature and a custom VJP.
 
     ``f(vol, tf, origin, dirs, dmin, dmax, smin, smax) -> rgba`` — the
@@ -1255,15 +1264,17 @@ def make_slab_marcher(num_steps: int, step_size: float,
         return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax, out)
 
     if bwd == "slab":
-        # The backward re-march always runs exact-precision matmuls, but
-        # with mode="fast" the saved forward output seeds the suffix term
+        # ``bwd_mode`` sets the backward re-march's matmul precision
+        # independently of the forward display precision ("exact" =
+        # HIGHEST, "high" = bf16x3 at ~2x the speed with ~1e-6 relative
+        # error — hardware-measured in docs/PARITY.md).  Note that with
+        # mode="fast" the saved forward output seeds the suffix term
         # (big_g / tr_fin), so gradient accuracy is bounded by the
-        # forward's approximation error; grads are exact only when the
-        # forward is exact.
+        # forward's approximation error regardless of bwd_mode.
         bwd_fn = make_slab_bwd(num_steps, step_size, early_termination,
                                termination_eps, vol_shape, ntf, height,
                                width, axis=axis, reverse=reverse,
-                               mode="exact", interpret=interpret,
+                               mode=bwd_mode, interpret=interpret,
                                vary_axes=vary_axes)
 
         def march_bwd(res, g):

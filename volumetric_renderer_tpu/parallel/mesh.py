@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -57,6 +58,97 @@ def pad_rows(h: int, mesh: Mesh) -> int:
     """Rows after padding ``h`` up to a multiple of the mesh size."""
     n = mesh.size
     return -(-h // n) * n
+
+
+def make_layout(layout: str, h: int, w: int, n_dev: int, tile: int = 16):
+    """Pixel-to-device distribution for the sharded renderer.
+
+    Returns ``(gh, gw, pack, unpack, valid)``:
+
+    * ``gh, gw`` — the global image shape fed through ``shard_map``
+      (``gh`` rows split contiguously over ``n_dev`` devices; each device
+      hands its ``(gh/n_dev, gw)`` block to the marcher).
+    * ``pack(img)`` — ``(h, w, C) -> (gh, gw, C)`` static rearrangement
+      into shard order (zero-filled padding); a free gather on replicated
+      data.
+    * ``unpack(x)`` — the exact inverse, ``(gh, gw, C) -> (h, w, C)``.
+    * ``valid`` — ``(gh, gw)`` float32 mask of true pixels (0 on padding),
+      for loss masking and for making padded rays inert.
+
+    Layouts:
+
+    * ``"contiguous"`` — device d owns rows ``[d*h/n, (d+1)*h/n)``.
+      Simplest; load-imbalanced when the subject sits mid-frame.
+    * ``"cyclic"`` — 16-row blocks round-robin over devices (blocks match
+      the slab kernel's tile height, so intra-tile ray coherence is
+      untouched).  Balanced to ~the per-block cost quantum (~10-15% at
+      N=8, SCALING_r03).
+    * ``"tile-cyclic"`` — 16x16 tiles round-robin over devices in raster
+      order; each shard is handed a ``(T*16/n, 16)`` tile-column image —
+      the kernel tiles it back into exactly the original 16x16 tiles, so
+      per-tile windows are identical to the unsharded render.  ~100x
+      finer balance quantum than "cyclic" (a tile, not a row of tiles).
+    """
+    if layout == "contiguous":
+        gh = -(-h // n_dev) * n_dev
+
+        def pack(img):
+            pad = ((0, gh - h),) + ((0, 0),) * (img.ndim - 1)
+            return jnp.pad(img, pad)
+
+        def unpack(x):
+            return x[:h]
+
+        valid = np.zeros((gh, w), np.float32)
+        valid[:h] = 1.0
+        return gh, w, pack, unpack, jnp.asarray(valid)
+    elif layout == "cyclic":
+        gh, perm, _ = cyclic_row_layout(h, n_dev, tile)
+    elif layout == "tile-cyclic":
+        ht, wt = -(-h // tile), -(-w // tile)
+        tp = -(-(ht * wt) // n_dev) * n_dev
+        order = np.concatenate(
+            [np.arange(d, tp, n_dev) for d in range(n_dev)])
+        gh, gw = tp * tile, tile
+
+        def pack(img):
+            c = img.shape[2:]
+            x = jnp.zeros((ht * tile, wt * tile) + c, img.dtype)
+            x = x.at[:h, :w].set(img)
+            x = x.reshape((ht, tile, wt, tile) + c)
+            x = jnp.moveaxis(x, 2, 1).reshape((ht * wt, tile, tile) + c)
+            if tp > ht * wt:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((tp - ht * wt, tile, tile) + c,
+                                  img.dtype)])
+            x = jnp.take(x, jnp.asarray(order), axis=0)
+            return x.reshape((tp * tile, tile) + c)
+
+        def unpack(x):
+            c = x.shape[2:]
+            x = x.reshape((tp, tile, tile) + c)
+            x = jnp.take(x, jnp.asarray(np.argsort(order)), axis=0)
+            x = x[:ht * wt].reshape((ht, wt, tile, tile) + c)
+            x = jnp.moveaxis(x, 1, 2).reshape((ht * tile, wt * tile) + c)
+            return x[:h, :w]
+
+        valid = np.asarray(pack(jnp.ones((h, w), np.float32)))
+        return gh, gw, pack, unpack, jnp.asarray(valid)
+    else:
+        raise ValueError(f"unknown row_layout {layout!r}")
+
+    inv = np.argsort(perm)
+
+    def pack(img):
+        pad = ((0, gh - h),) + ((0, 0),) * (img.ndim - 1)
+        return jnp.take(jnp.pad(img, pad), jnp.asarray(perm), axis=0)
+
+    def unpack(x):
+        return jnp.take(x, jnp.asarray(inv), axis=0)[:h]
+
+    valid = np.zeros((gh, w), np.float32)
+    valid[perm < h] = 1.0
+    return gh, w, pack, unpack, jnp.asarray(valid)
 
 
 def cyclic_row_layout(h: int, n_dev: int, block: int = 16):

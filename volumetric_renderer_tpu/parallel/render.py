@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from volumetric_renderer_tpu.core.fused import make_fused_marcher
-from volumetric_renderer_tpu.parallel.mesh import cyclic_row_layout, pad_rows
+from volumetric_renderer_tpu.parallel.mesh import make_layout
 from volumetric_renderer_tpu.scene.camera import OrbitCamera, ray_grid
 from volumetric_renderer_tpu.utils.config import RenderSettings
 
@@ -45,23 +45,20 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
     grid shrinks with the mesh; grid/TF gradients psum inside the slab
     custom-VJP backward (``kernels/slab.py`` ``vary_axes``).
 
-    ``row_layout="cyclic"`` assigns 16-row blocks to devices round-robin
-    (see :func:`~volumetric_renderer_tpu.parallel.mesh.cyclic_row_layout`)
-    — the load-balanced layout that keeps every chip on an even sample of
-    the frame.  Restoring natural row order then costs one tiny image
-    shuffle at the end of the forward; pass ``permuted_output=True`` to
-    skip it and receive rows in shard order (``img[perm]``) — what the
-    training loss does, permuting targets instead (a free, replicated
-    gather), keeping the forward collective-free.
+    ``row_layout`` picks the pixel-to-device distribution (see
+    :func:`~volumetric_renderer_tpu.parallel.mesh.make_layout`):
+    ``"contiguous"`` bands, ``"cyclic"`` 16-row blocks round-robin, or
+    ``"tile-cyclic"`` 16x16 tiles round-robin (finest load balance, the
+    production choice — SCALING_r03).  Restoring natural pixel order then
+    costs one tiny image shuffle at the end of the forward; pass
+    ``permuted_output=True`` to skip it and receive the shard-order image
+    — what the training loss does, packing targets instead (a free,
+    replicated gather), keeping the forward collective-free.
     """
     h, w = settings.height, settings.width
     n_dev = mesh.size
-    if row_layout == "cyclic":
-        hp, perm, inv = cyclic_row_layout(h, n_dev)
-    elif row_layout == "contiguous":
-        hp, perm, inv = pad_rows(h, mesh), None, None
-    else:
-        raise ValueError(f"unknown row_layout {row_layout!r}")
+    gh, gw, pack, unpack, valid = make_layout(row_layout, h, w, n_dev)
+    natural_order = row_layout == "contiguous"
 
     # vma checking cannot evaluate *interpreted* Pallas kernel bodies (the
     # HLO interpreter mixes varying and replicated operands in the kernel's
@@ -82,7 +79,7 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
             settings.num_steps, settings.step_size,
             settings.early_termination, settings.termination_eps,
             tuple(vol_shape), settings.tf_resolution,
-            hp // n_dev, settings.width,
+            gh // n_dev, gw,
             axis=slab_axis, reverse=slab_reverse, mode=slab_mode,
             interpret=interpret,
             vary_axes=tuple(mesh.axis_names) if check_vma else (),
@@ -115,12 +112,12 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
         check_vma=check_vma,
     )
 
-    # The output keeps row sharding only when rows stay in shard order and
-    # divide the mesh evenly; otherwise XLA picks the layout for the
-    # (cheap) final slice/shuffle.
-    natural = perm is None or permuted_output
+    # The output keeps shard-order sharding only when no final
+    # reordering/slice is needed; otherwise XLA picks the layout for the
+    # (cheap) final shuffle.
     out_shard = (NamedSharding(mesh, ray_spec)
-                 if hp == h and natural else None)
+                 if permuted_output or (natural_order and gh == h)
+                 else None)
 
     @functools.partial(
         jax.jit,
@@ -132,24 +129,19 @@ def make_sharded_renderer(mesh, settings: RenderSettings, method: str = "fused",
             camera, h, w, settings.fov_y_degrees, settings.near, settings.far
         )
         origin = origin + 0.5  # world cube [-0.5,0.5]^3 -> texture space
-        if hp != h:
-            # padded rays point straight up and miss the cube: dead weight
-            # dropped (or left inert in permuted output) before returning
-            pad = jnp.zeros((hp - h, w, 3), jnp.float32).at[..., 2].set(1.0)
-            dirs = jnp.concatenate([dirs, pad], axis=0)
-        if perm is not None:
-            # static gather on replicated rays: free of communication
-            dirs = jnp.take(dirs, jnp.asarray(perm), axis=0)
+        # pack into shard order: a static gather on replicated rays, free
+        # of communication; padded positions get an inert straight-up ray
+        # (its rare cube hits are masked out by `valid` on the way back)
+        dirs = pack(dirs)
+        if gh != h or gw != w:
+            dirs = jnp.where(valid[..., None] > 0.0, dirs,
+                             jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
         dirs = jax.lax.with_sharding_constraint(dirs, NamedSharding(mesh, ray_spec))
         img = sharded_march(vol, tf, origin, dirs, dmin, dmax, smin, smax)
         if permuted_output:
-            return img          # (hp, W, 4) in shard order
-        if perm is not None:
-            img = jnp.take(img, jnp.asarray(inv), axis=0)
-        return img[:h]
+            return img          # (gh, gw, 4) in shard order
+        return unpack(img)
 
-    render_fn.row_perm = perm   # layout metadata for training/scaling
-    render_fn.padded_height = hp
     return render_fn
 
 

@@ -33,7 +33,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from volumetric_renderer_tpu.parallel.mesh import cyclic_row_layout, pad_rows
+from volumetric_renderer_tpu.parallel.mesh import make_layout
 from volumetric_renderer_tpu.parallel.render import make_sharded_renderer
 from volumetric_renderer_tpu.utils.config import RenderSettings
 
@@ -77,15 +77,15 @@ def make_train_step(mesh, settings: RenderSettings, optimizer,
     are mesh-sharded.
     """
     h, w = settings.height, settings.width
-    cyclic = row_layout == "cyclic"
-    if cyclic:
-        hp, perm, _ = cyclic_row_layout(h, mesh.size)
-        perm = jnp.asarray(perm)
-        # shard-order rows drawn from the padding are inert in the image
-        # but must not enter the loss
-        valid = jnp.asarray(np.asarray(perm) < h, jnp.float32)[:, None, None]
+    shardorder = row_layout != "contiguous"
+    if shardorder:
+        # train on shard-order images: targets are packed with the same
+        # static gather (free on replicated data) and padded positions are
+        # masked out of the loss, so the forward stays collective-free
+        _, _, pack_img, _, valid = make_layout(row_layout, h, w, mesh.size)
+        vmask = valid[..., None]
 
-    common = dict(row_layout=row_layout, permuted_output=cyclic)
+    common = dict(row_layout=row_layout, permuted_output=shardorder)
     if method in ("slab", "pallas"):
         if not slab_axes:
             raise ValueError("method='slab' needs slab_axes= "
@@ -119,12 +119,8 @@ def make_train_step(mesh, settings: RenderSettings, optimizer,
                 img = jax.lax.switch(
                     fixed["axis_codes"][i],
                     [functools.partial(f, *fargs) for f in render_fns])
-            if cyclic:
-                # permute the replicated target into shard order (static
-                # gather, no communication) and mask padding rows
-                tp = jnp.take(jnp.pad(target, ((0, hp - h), (0, 0), (0, 0))),
-                              perm, axis=0)
-                sq = ((img - tp) ** 2) * valid
+            if shardorder:
+                sq = ((img - pack_img(target)) ** 2) * vmask
                 return carry + jnp.sum(sq) / float(h * w * 4)
             return carry + jnp.mean((img - target) ** 2)
 
