@@ -91,7 +91,7 @@ def bench_grad(args, settings, grid_n, h, w, steps):
         steps, settings.step_size, settings.early_termination,
         settings.termination_eps, tuple(vol.shape), tf_n, h, w,
         axis=axis, reverse=reverse, mode=args.slab_mode,
-        interpret=interpret, bwd="slab")
+        interpret=interpret, bwd="slab", bwd_mode=args.bwd_mode)
     origin, dirs = ray_grid(cam, h, w)
     origin = origin + 0.5
     scal = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
@@ -143,6 +143,12 @@ def main():
                     help="volume resolution (512 = BASELINE config-5 "
                          "scale: the 512 MiB grid streams through VMEM "
                          "in z-slabs)")
+    ap.add_argument("--bwd-mode", default="high",
+                    choices=["exact", "high", "fast"],
+                    help="backward matmul precision (with --grad): "
+                         "exact=bf16x6, high=density-exact + bf16x3 "
+                         "gradient matmuls (parity 5.8e-5), fast=bf16 "
+                         "(training only, ~7e-2)")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark the training path instead: "
                          "value_and_grad through the slab forward + "

@@ -109,10 +109,33 @@ def test_api_method_slab(scene):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("bwd", ["fused", "slab"])
-def test_gradients_match_oracle(scene, bwd):
+def test_api_method_slab_under_jit(scene):
+    """render(method='slab') must work INSIDE jax.jit with a closed-over
+    concrete camera — the envelope check runs at compile time
+    (regression: omnistaging made its ray grid a tracer)."""
+    import jax
+
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    s = RenderSettings(height=H, width=W, step_size=STEP,
+                       early_termination=False)
+    fn = jax.jit(lambda v, t: render(v, t, cam, s, method="slab",
+                                     interpret=True))
+    ref = np.asarray(render(vol, tf, cam, s, method="oracle"))
+    # in-jit ray generation reassociates f32 vs the eager reference
+    # (~1 ulp on ray dirs, amplified at density edges) — same tolerance
+    # class as tests/test_parallel.py
+    np.testing.assert_allclose(np.asarray(fn(vol, tf)), ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("bwd,bwd_mode", [("fused", "exact"),
+                                          ("slab", "exact"),
+                                          ("slab", "high")])
+def test_gradients_match_oracle(scene, bwd, bwd_mode):
     """Both custom-VJP backwards — the XLA fused re-march delegate and the
-    TPU-native Pallas slab backward — match the oracle's plain autodiff."""
+    TPU-native Pallas slab backward — match the oracle's plain autodiff;
+    bwd_mode='high' exercises the manual bf16x3 decomposition's wiring
+    (numerically exact in interpret mode: the splits recombine in f32)."""
     import jax
 
     vol = Volume.synthetic_sphere(8).as_jax()
@@ -126,7 +149,7 @@ def test_gradients_match_oracle(scene, bwd):
     marcher = make_slab_marcher(16, 1.8 / 16, False, 1.0 / 255.0,
                                 tuple(vol.shape), tf.shape[0], 16, 16,
                                 axis=axis, reverse=reverse, interpret=True,
-                                bwd=bwd)
+                                bwd=bwd, bwd_mode=bwd_mode)
 
     def loss_slab(v, t):
         return jnp.sum(marcher(v, t, origin, dirs, *args) ** 2)
@@ -164,10 +187,14 @@ def test_pallas_backward_orientations_and_et(yaw, pitch, et):
     smin, smax = jnp.zeros(3), jnp.ones(3)
 
     axis, reverse = choose_axis_from_camera(cam)
+    # bwd_mode="exact" pins the backward ALGORITHM at full precision;
+    # the default "high" (bf16x3) carries its own hardware-measured
+    # error budget (5.8e-5, docs/PARITY.md) and is wired-tested in
+    # test_gradients_match_oracle[slab-high]
     marcher = make_slab_marcher(20, 1.8 / 20, et, 1.0 / 255.0,
                                 tuple(vol.shape), tf.shape[0], 16, 16,
                                 axis=axis, reverse=reverse, interpret=True,
-                                bwd="slab")
+                                bwd="slab", bwd_mode="exact")
 
     def loss_slab(v, t, dmn, dmx):
         return jnp.sum(marcher(v, t, origin, dirs, dmn, dmx, smin, smax)

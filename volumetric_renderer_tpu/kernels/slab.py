@@ -67,6 +67,7 @@ _PERMS = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
 _G_DT, _G_NSTEPS, _G_DMIN, _G_INVW, _G_NTF, _G_AMAX, _G_EPS, _G_ET = range(8)
 _G_SMINC, _G_SMINB, _G_SMINA, _G_SMAXC, _G_SMAXB, _G_SMAXA = range(8, 14)
 _G_NC, _G_NB, _G_NA, _G_THICK, _G_NSLAB, _G_REV = range(14, 20)
+_G_ASTART, _G_CEND = range(20, 22)   # chunk ownership (depth sharding)
 _GMETA_LEN = 24
 
 # tmeta slot indices (per-tile SMEM scalars, f32): conservative f-space
@@ -112,13 +113,18 @@ def _k_interval(a_lb0, a_ub0, d_lb, d_ub, lo_plane, hi_plane, n_steps):
 def _tent_lanes(idx, w, width, valid=None):
     """(P, width) tent matrix: (1-w) at lane idx, w at lane idx+1.
 
-    Out-of-range lanes simply drop — exactly the transparent-black border
-    of the reference's CLAMP_TO_BORDER sampler (offscreen_pass.cpp:
-    1020-1030).  ``valid`` optionally masks whole rays.
+    Built arithmetically as ``relu(1 - |lane - (idx + w)|)`` — exactly
+    (1-w) at lane ``idx`` and w at ``idx+1`` (f32-exact: ``idx + w``
+    reconstructs the fractional coordinate whose floor produced them),
+    in 4 VPU ops per element instead of two integer compares + selects
+    (the tent build is the forward kernel's VPU hot spot).  Out-of-range
+    lanes simply drop — exactly the transparent-black border of the
+    reference's CLAMP_TO_BORDER sampler (offscreen_pass.cpp:1020-1030).
+    ``valid`` optionally masks whole rays.
     """
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], width), 1)
-    t = (jnp.where(lanes == idx[:, None], (1.0 - w)[:, None], 0.0)
-         + jnp.where(lanes == idx[:, None] + 1, w[:, None], 0.0))
+    lanes = jax.lax.broadcasted_iota(jnp.float32, (idx.shape[0], width), 1)
+    f = idx.astype(jnp.float32) + w
+    t = jnp.maximum(0.0, 1.0 - jnp.abs(lanes - f[:, None]))
     if valid is not None:
         t = jnp.where(valid[:, None], t, 0.0)
     return t
@@ -128,18 +134,23 @@ def _tf_weights_t(idx_lo, idx_hi, w, width):
     """(width, P) *transposed* clamp-to-edge lerp weights for the TF fetch.
 
     Weight (1-w) on clip(i0) and w on clip(i0+1); when both clamp to the
-    same texel the weights sum — exactly ``tf[lo]*(1-wt) + tf[hi]*wt``
-    (core.blocked's formulation).  Transposed so the fetch runs as
-    ``(8, ntf) @ (ntf, P)``: the matmul's minor output dim is P (a full
-    lane tile) instead of an 8->128 zero-padded one — 16x less MXU work
-    than the (P, ntf) @ (ntf, 8) orientation.
+    same texel the weights sum to 1 — exactly ``tf[lo]*(1-wt) + tf[hi]*wt``
+    (core.blocked's formulation).  Built as the tent
+    ``relu(1 - |row - clip(i0 + w, 0, width-1)|)``: interior texels get
+    the lerp weights verbatim, and clamping the *coordinate* reproduces
+    the summed edge weight (a single 1.0 on the edge texel).  Transposed
+    so the fetch runs as ``(8, ntf) @ (ntf, P)``: the matmul's minor
+    output dim is P (a full lane tile) instead of an 8->128 zero-padded
+    one — 16x less MXU work than the (P, ntf) @ (ntf, 8) orientation.
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (width, idx_lo.shape[0]), 0)
-    return (jnp.where(rows == idx_lo[None, :], (1.0 - w)[None, :], 0.0)
-            + jnp.where(rows == idx_hi[None, :], w[None, :], 0.0))
+    rows = jax.lax.broadcasted_iota(jnp.float32, (width, idx_lo.shape[0]),
+                                    0)
+    f = jnp.clip(idx_lo.astype(jnp.float32) + w, 0.0, float(width - 1))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(rows - f[None, :]))
 
 
-def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
+def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision,
+                 step_batch=1):
     """Build the kernel body for static slab geometry.
 
     levels: tuple of (zw, yw, cw) window sizes, smallest first; the last
@@ -149,8 +160,21 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
     reproduces f32 exactly -> 1-ulp parity with the XLA marchers;
     DEFAULT (bf16x3) is ~35% faster with error ~5e-4 — under half an
     8-bit display quantum (1/255), i.e. visually identical output.
+
+    The gmeta scalars _G_ASTART/_G_CEND carry the *global* a-row range
+    this kernel's slabs own — (0, na) for a whole-volume render; a
+    chunk's [start, end) for the depth-sharded growth path
+    (``parallel/depth``), where the slab array holds rows
+    [a_start, chunk_end] (+1 halo) of a larger volume and samples outside
+    the range belong to other chunks.  Traced scalars so the same
+    compiled kernel serves every chip of a depth mesh
+    (a_start = axis_index * body inside shard_map).
+    step_batch: consecutive march steps processed per loop iteration
+    (fused matmuls + amortized window/level overhead; see
+    step_batch_body).
     """
     rows = thick + 1
+    BATCH = step_batch
 
     def kernel(gmeta, tmeta, flag, rays, slab, tft, state,
                state_out, flag_out):
@@ -166,15 +190,20 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
         n_slab = gmeta[0, 0, _G_NSLAB].astype(jnp.int32)
         rev = gmeta[0, 0, _G_REV] > 0.0
 
+        a_start_f = gmeta[0, 0, _G_ASTART]
+        cend = gmeta[0, 0, _G_CEND]
+
         s_log = pl.program_id(0)
         s_act = jnp.where(rev, n_slab - 1 - s_log, s_log)
-        abase = s_act.astype(jnp.float32) * thick_f
-        abase_i = s_act * thick
+        abase = a_start_f + s_act.astype(jnp.float32) * thick_f
+        abase_i = a_start_f.astype(jnp.int32) + s_act * thick
 
-        # cz-range owned by this slab: [lo_own, hi_own).  Slab 0 also owns
-        # cz == -1 (the pos~0 edge whose -z corner is the border).
-        lo_own = jnp.where(s_act == 0, -1.0, abase)
-        hi_own = abase + thick_f
+        # cz-range owned by this slab: [lo_own, hi_own).  The globally
+        # first slab also owns cz == -1 (the pos~0 edge whose -z corner
+        # is the border); a chunk's last slab stops at the chunk end (the
+        # next chunk owns from there).
+        lo_own = jnp.where((s_act == 0) & (a_start_f == 0.0), -1.0, abase)
+        hi_own = jnp.minimum(abase + thick_f, cend)
 
         k_lo, k_hi = _k_interval(
             tmeta[0, 0, _T_FA0_MIN], tmeta[0, 0, _T_FA0_MAX],
@@ -201,60 +230,37 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
             nc_f = gmeta[0, 0, _G_NC]
             nb_f = gmeta[0, 0, _G_NB]
 
-            def step(k, carry):
+            def step_batch_body(j, carry):
+                """One loop iteration = BATCH consecutive steps: the
+                window bounds / level switch / matmul dispatches run once
+                per batch (bounds are linear in k, so the batch span's
+                extremes are at its endpoint steps), the sample and TF
+                fetches for all BATCH steps fuse into single MXU calls
+                ((B*P, K) @ (K, cw) and (8, ntf) @ (ntf, B*P)), and only
+                the compositing chain stays serial.  Early-termination
+                masking moves into the composite phase: an ET-dead step
+                may fetch a different TF bin than the step-serial kernel,
+                but its contribution is exactly zero either way."""
                 r, g, b, tr = carry
-                kf = k.astype(jnp.float32)
-                tstep = kf * dt
-                # identical float ops to core.blocked.body
-                pc = p0c + tstep * dc
-                pb = p0b + tstep * db
-                pa = p0a + tstep * da
-                inside = ((pc >= 0.0) & (pc <= 1.0)
-                          & (pb >= 0.0) & (pb <= 1.0)
-                          & (pa >= 0.0) & (pa <= 1.0))
-                sliced = ((pc < smaxc) & (pc > sminc)
-                          & (pb < smaxb) & (pb > sminb)
-                          & (pa < smaxa) & (pa > smina))
-                fc = pc * nc_f - 0.5
-                fb = pb * nb_f - 0.5
-                fa = pa * na - 0.5
-                cc = jnp.floor(fc)
-                cb = jnp.floor(fb)
-                ca = jnp.floor(fa)
-                wc = fc - cc
-                wb = fb - cb
-                wa = fa - ca
-                cc = cc.astype(jnp.int32)
-                cb = cb.astype(jnp.int32)
-                ca = ca.astype(jnp.int32)
+                k0 = k_lo + j * BATCH
+                k0f = k0.astype(jnp.float32)
+                kBf = k0f + float(BATCH - 1)
 
-                owned = ((ca.astype(jnp.float32) >= lo_own)
-                         & (ca.astype(jnp.float32) < hi_own))
-                active = inside & sliced & owned
-                active = active & ((tr > eps_t) | jnp.logical_not(et_on))
+                # batch-span window bounds: linear in k => evaluate both
+                # endpoint steps, clip to the volume / owned range
+                def span(slot_min, slot_max, lo_clip, hi_clip):
+                    d_min = tmeta[0, 0, slot_min + 2]
+                    d_max = tmeta[0, 0, slot_max + 2]
+                    lb = tmeta[0, 0, slot_min] + jnp.minimum(
+                        k0f * d_min, kBf * d_min)
+                    ub = tmeta[0, 0, slot_max] + jnp.maximum(
+                        k0f * d_max, kBf * d_max)
+                    return (jnp.maximum(lb, lo_clip),
+                            jnp.minimum(ub, hi_clip))
 
-                # conservative per-step window bounds, clipped to the
-                # volume (only in-cube samples matter — the rest is
-                # masked by `active` regardless of sampled value)
-                fb_lb = jnp.maximum(
-                    tmeta[0, 0, _T_FB0_MIN] + kf * tmeta[0, 0, _T_DFB_MIN],
-                    -1.0)
-                fb_ub = jnp.minimum(
-                    tmeta[0, 0, _T_FB0_MAX] + kf * tmeta[0, 0, _T_DFB_MAX],
-                    nb_f)
-                fa_lb = jnp.maximum(
-                    tmeta[0, 0, _T_FA0_MIN] + kf * tmeta[0, 0, _T_DFA_MIN],
-                    lo_own)
-                fa_ub = jnp.minimum(
-                    tmeta[0, 0, _T_FA0_MAX] + kf * tmeta[0, 0, _T_DFA_MAX],
-                    hi_own)
-
-                fc_lb = jnp.maximum(
-                    tmeta[0, 0, _T_FC0_MIN] + kf * tmeta[0, 0, _T_DFC_MIN],
-                    -1.0)
-                fc_ub = jnp.minimum(
-                    tmeta[0, 0, _T_FC0_MAX] + kf * tmeta[0, 0, _T_DFC_MAX],
-                    nc_f)
+                fa_lb, fa_ub = span(_T_FA0_MIN, _T_FA0_MAX, lo_own, hi_own)
+                fb_lb, fb_ub = span(_T_FB0_MIN, _T_FB0_MAX, -1.0, nb_f)
+                fc_lb, fc_ub = span(_T_FC0_MIN, _T_FC0_MAX, -1.0, nc_f)
 
                 b_lo = jnp.floor(fb_lb).astype(jnp.int32)
                 b_hi = jnp.floor(fb_ub).astype(jnp.int32) + 1  # +1 corner
@@ -266,39 +272,77 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
                     jnp.floor(fa_ub).astype(jnp.int32) + 1 - abase_i,
                     0, rows - 1)
 
-                la = ca - abase_i
+                # per-sub-step geometry (identical float ops to
+                # core.blocked.body)
+                subs = []
+                for bb in range(BATCH):
+                    kf = k0f + float(bb)
+                    tstep = kf * dt
+                    pc = p0c + tstep * dc
+                    pb = p0b + tstep * db
+                    pa = p0a + tstep * da
+                    inside = ((pc >= 0.0) & (pc <= 1.0)
+                              & (pb >= 0.0) & (pb <= 1.0)
+                              & (pa >= 0.0) & (pa <= 1.0))
+                    sliced = ((pc < smaxc) & (pc > sminc)
+                              & (pb < smaxb) & (pb > sminb)
+                              & (pa < smaxa) & (pa > smina))
+                    fc = pc * nc_f - 0.5
+                    fb = pb * nb_f - 0.5
+                    fa = pa * na - 0.5
+                    cc = jnp.floor(fc)
+                    cb = jnp.floor(fb)
+                    ca = jnp.floor(fa)
+                    wc = fc - cc
+                    wb = fb - cb
+                    wa = fa - ca
+                    cc = cc.astype(jnp.int32)
+                    cb = cb.astype(jnp.int32)
+                    ca = ca.astype(jnp.int32)
+                    owned = ((ca.astype(jnp.float32) >= lo_own)
+                             & (ca.astype(jnp.float32) < hi_own))
+                    # tr-independent activity; the ET part joins at
+                    # composite time (mathematically identical: a dead
+                    # step contributes exactly 0 whatever bin it fetched)
+                    act_s = (inside & sliced & owned
+                             & ((k0 + bb) < k_hi))
+                    subs.append(dict(cc=cc, cb=cb, ca=ca, wc=wc, wb=wb,
+                                     wa=wa, act=act_s))
 
-                def wz_row(z0, rr):
-                    return jnp.where(la == z0 + rr, 1.0 - wa,
-                                     jnp.where(la + 1 == z0 + rr, wa, 0.0))
+                def wz_row(sub, z0, rr):
+                    la = sub["ca"] - abase_i
+                    return jnp.where(la == z0 + rr, 1.0 - sub["wa"],
+                                     jnp.where(la + 1 == z0 + rr,
+                                               sub["wa"], 0.0))
 
                 def sample_level(zw, yw, cw):
+                    """Densities for all BATCH sub-steps: (BATCH, P)."""
                     z0 = jnp.clip(a_lo, 0, rows - zw)
                     if yw >= nb and cw >= nc:
-                        # full-face fallback: per-row matmuls
-                        wyt = _tent_lanes(cb, wb, nb)
-                        v1 = jnp.zeros((P, nc), jnp.float32)
+                        # full-face fallback: per-row matmuls, batched
+                        # along the row axis of the one-hot operand
+                        wyts = [_tent_lanes(s["cb"], s["wb"], nb)
+                                for s in subs]
+                        v1 = jnp.zeros((BATCH * P, nc), jnp.float32)
                         for rr in range(zw):
-                            a_mat = wyt * wz_row(z0, rr)[:, None]
-                            v1 = v1 + jnp.dot(
-                                a_mat, slab[0, z0 + rr, :, :],
-                                precision=precision,
-                                preferred_element_type=jnp.float32)
-                        wxt = _tent_lanes(cc, wc, nc)
-                        return jnp.sum(v1 * wxt, axis=1)
-                    # windowed path: ONE (P, zw*yw) @ (zw*yw, cw) matmul —
-                    # merging the z-rows into the contraction dim keeps the
-                    # MXU's K dim full instead of zero-padding yw->128 per
-                    # row, and the 128-lane c window trims N
+                            a_mat = jnp.concatenate(
+                                [w * wz_row(s, z0, rr)[:, None]
+                                 for s, w in zip(subs, wyts)], axis=0)
+                            v1 = v1 + _pdot(a_mat, slab[0, z0 + rr, :, :],
+                                            precision)
+                        return [jnp.sum(v1[bb * P:(bb + 1) * P]
+                                        * _tent_lanes(s["cc"], s["wc"], nc),
+                                        axis=1)
+                                for bb, s in enumerate(subs)]
+                    # windowed path: ONE (BATCH*P, zw*yw) @ (zw*yw, cw)
+                    # matmul; the slab window is shared by the batch
                     y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
                     y0 = pl.multiple_of(y0, 8)
                     if cw >= nc:
-                        lc = cc
+                        c0 = None
                     else:
                         c0 = (jnp.clip(c_lo, 0, nc - cw) // 128) * 128
                         c0 = pl.multiple_of(c0, 128)
-                        lc = cc - c0
-                    wyt = _tent_lanes(cb - y0, wb, yw)
 
                     def b_win(rr):
                         if cw >= nc:
@@ -306,16 +350,23 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
                         return slab[0, z0 + rr, pl.ds(y0, yw),
                                     pl.ds(c0, cw)]
 
-                    a_parts = [wyt * wz_row(z0, rr)[:, None]
-                               for rr in range(zw)]
-                    v1 = jnp.dot(
-                        jnp.concatenate(a_parts, axis=1),
+                    a_rows = []
+                    for s in subs:
+                        wyt = _tent_lanes(s["cb"] - y0, s["wb"], yw)
+                        a_rows.append(jnp.concatenate(
+                            [wyt * wz_row(s, z0, rr)[:, None]
+                             for rr in range(zw)], axis=1))
+                    v1 = _pdot(
+                        jnp.concatenate(a_rows, axis=0),
                         jnp.concatenate([b_win(rr) for rr in range(zw)],
-                                        axis=0),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
-                    wxt = _tent_lanes(lc, wc, cw)
-                    return jnp.sum(v1 * wxt, axis=1)
+                                        axis=0), precision)
+                    outs = []
+                    for bb, s in enumerate(subs):
+                        lc = s["cc"] if c0 is None else s["cc"] - c0
+                        wxt = _tent_lanes(lc, s["wc"], cw)
+                        outs.append(jnp.sum(v1[bb * P:(bb + 1) * P] * wxt,
+                                            axis=1))
+                    return outs
 
                 def fits(zw, yw, cw):
                     ok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
@@ -328,40 +379,49 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
                     return ok
 
                 if len(levels) == 1:
-                    density = sample_level(*levels[0])
+                    densities = sample_level(*levels[0])
                 else:
                     lvl = jnp.int32(len(levels) - 1)
                     for i in range(len(levels) - 2, -1, -1):
                         lvl = jnp.where(fits(*levels[i]), jnp.int32(i), lvl)
-                    density = jax.lax.switch(
+                    densities = jax.lax.switch(
                         lvl, [functools.partial(sample_level, zw, yw, cw)
                               for (zw, yw, cw) in levels])
 
-                # TF lookup + composite: same float ops as core.blocked,
-                # fetched via the transposed (8, ntf) @ (ntf, P) matmul
-                t = (density - dmin) * inv_w
-                t = jnp.where(active, t, 0.0)  # NaN-voxel containment
-                x = t * float(ntf) - 0.5
-                i0t = jnp.floor(x)
-                wt = x - i0t
-                lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
-                hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
-                wtf_t = _tf_weights_t(lo, hi, wt, ntf)
-                rgba_t = jnp.dot(tft[:, :], wtf_t,
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
-                a = jnp.minimum(rgba_t[3, :], amax)
-                a = jnp.where(active, a, 0.0)
-                ta = tr * a
-                r = r + ta * rgba_t[0, :]
-                g = g + ta * rgba_t[1, :]
-                b2 = b + ta * rgba_t[2, :]
-                tr = tr * (1.0 - a)
-                return r, g, b2, tr
+                # TF fetch for the whole batch: one (8, ntf) @ (ntf, B*P)
+                wtfs = []
+                for s, density in zip(subs, densities):
+                    t = (density - dmin) * inv_w
+                    t = jnp.where(s["act"], t, 0.0)  # NaN containment
+                    x = t * float(ntf) - 0.5
+                    i0t = jnp.floor(x)
+                    wt = x - i0t
+                    lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
+                    hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
+                    wtfs.append(_tf_weights_t(lo, hi, wt, ntf))
+                rgba_t = _pdot(tft[:, :], jnp.concatenate(wtfs, axis=1),
+                               precision)
+
+                # serial compositing chain (same float ops / order as the
+                # step-serial kernel)
+                for bb, s in enumerate(subs):
+                    rgba = rgba_t[:, bb * P:(bb + 1) * P]
+                    active = s["act"] & ((tr > eps_t)
+                                         | jnp.logical_not(et_on))
+                    a = jnp.minimum(rgba[3, :], amax)
+                    a = jnp.where(active, a, 0.0)
+                    ta = tr * a
+                    r = r + ta * rgba[0, :]
+                    g = g + ta * rgba[1, :]
+                    b = b + ta * rgba[2, :]
+                    tr = tr * (1.0 - a)
+                return r, g, b, tr
 
             carry = (state[0, 0, :], state[0, 1, :],
                      state[0, 2, :], state[0, 3, :])
-            r, g, b, tr = jax.lax.fori_loop(k_lo, k_hi, step, carry)
+            n_iter = (k_hi - k_lo + BATCH - 1) // BATCH
+            r, g, b, tr = jax.lax.fori_loop(0, n_iter, step_batch_body,
+                                            carry)
             state_out[0, 0, :] = r
             state_out[0, 1, :] = g
             state_out[0, 2, :] = b
@@ -383,27 +443,105 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision):
     return kernel
 
 
-def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=9 * 2 ** 20):
-    """Slab thickness: as many rows as fit a double-buffered VMEM budget."""
+# Slab thickness targets (override for experiments via VRT_FWD_VMEM_MB /
+# VRT_BWD_VMEM_MB / VRT_MIN_ROWS env vars).
+import os as _os
+
+_FWD_VMEM_BUDGET = int(_os.environ.get("VRT_FWD_VMEM_MB", "9")) * 2 ** 20
+_MIN_ROWS = int(_os.environ.get("VRT_MIN_ROWS", "12"))
+_STEP_BATCH = int(_os.environ.get("VRT_STEP_BATCH", "1"))
+
+
+def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=None, min_rows=None):
+    """Slab thickness: rows fitting a double-buffered VMEM target, with a
+    floor of ``_MIN_ROWS`` rows for large faces.
+
+    Hardware-swept on v5e (1080p/512 steps, fast mode):
+
+      256^3 (256 KiB/row):  thick 17 -> 2143 ms, 23 -> 2202, 31 -> 2276,
+                            47 -> 2535  (9 MiB budget is the optimum;
+                            thicker slabs inflate the full-face fallback
+                            level, which runs one matmul per slab row)
+      512^3 (1 MiB/row):    thick 3 -> 11045 ms, 5 -> 8389, 7 -> 7994,
+                            11 -> 6327  (boundary-duplicated steps
+                            dominate thin slabs: a tile's conservative
+                            k-interval overlaps both neighbours)
+
+    Hence: the 9 MiB double-buffered budget with a 12-row floor — both
+    optima, and 512^3-sized slabs stay inside the 64 MiB Mosaic vmem
+    limit set on the pallas calls (v5e has 128 MiB physical VMEM).
+    """
+    if vmem_budget is None:
+        vmem_budget = _FWD_VMEM_BUDGET
+    if min_rows is None:
+        min_rows = _MIN_ROWS
     per_row = b_dim * c_dim * 4
-    rows = max(3, vmem_budget // (2 * per_row))
+    rows = max(3, min_rows, vmem_budget // (2 * per_row))
     thick = min(a_dim, rows - 1)
     return int(thick)
 
 
 # The backward keeps FOUR slab-sized buffers live (double-buffered volume
 # slab in + double-buffered gradient slab out), so its slabs are thinner
-# than the forward's: budget B => 2 slabs of B/2 => 4 buffers = 2B, ~12 MiB
-# of the ~16 MiB VMEM.  Thicker slabs mean fewer sweeps of the per-tile
-# state and less step duplication at slab boundaries (a tile's k-interval
-# is conservative, so steps near a boundary run in both adjacent slabs).
-_BWD_VMEM_BUDGET = 6 * 2 ** 20
+# than the forward's: budget B => 2 slabs of B/2 => 4 buffers = 2B
+# (~32 MiB of the 64 MiB Mosaic limit), plus (P, nb/nc)-sized step
+# temporaries.
+_BWD_VMEM_BUDGET = int(_os.environ.get("VRT_BWD_VMEM_MB", "6")) * 2 ** 20
 
+# "high" is a MANUAL bf16x3 decomposition (Mosaic's dot lowering knows
+# only DEFAULT and HIGHEST): x = hi + lo with hi = bf16(x); then
+# x@y ~= hi@hy + (hi@ly + lo@hy) as three single-pass matmuls — half of
+# HIGHEST's six passes at ~1e-6 relative error (hardware-measured in
+# docs/PARITY.md).
+_X3 = "bf16x3"
 _PRECISIONS = {
     "exact": jax.lax.Precision.HIGHEST,   # bf16x6: reproduces f32
-    "high": jax.lax.Precision.HIGH,       # bf16x3: ~1e-6 rel error, 2x faster
+    "high": _X3,                          # manual bf16x3: ~1e-6, ~2x faster
     "fast": jax.lax.Precision.DEFAULT,    # bf16x1: ~5e-4, fastest
 }
+
+
+def _split_bf16(x):
+    # Mask the low 16 mantissa bits explicitly instead of a bf16 cast
+    # round-trip: the compiler is free to elide f32->bf16->f32 (measured
+    # on hardware — the cast form silently degraded to single-pass bf16),
+    # while a bitwise AND cannot be folded away.  hi is exactly
+    # bf16-representable, so the MXU's input truncation loses nothing.
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return hi, x - hi
+
+
+def _pdot(a, b, precision):
+    """jnp.dot honoring the manual-bf16x3 sentinel."""
+    if precision is not _X3:
+        return jnp.dot(a, b, precision=precision,
+                       preferred_element_type=jnp.float32)
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+
+    def d(x, y):
+        return jnp.dot(x, y, precision=jax.lax.Precision.DEFAULT,
+                       preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
+def _pdotg(a, b, dims, precision):
+    """lax.dot_general honoring the manual-bf16x3 sentinel."""
+    if precision is not _X3:
+        return jax.lax.dot_general(a, b, dims, precision=precision,
+                                   preferred_element_type=jnp.float32)
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
 def _make_levels(rows, nb_dim, nc_dim):
@@ -452,7 +590,8 @@ def _make_tilers(height, width):
 
 def _prep_inputs(origin, dirs, dmin, dmax, smin, smax, *, comps, reverse,
                  dims_abc, ntf, num_steps, step_size, early_termination,
-                 termination_eps, thick, n_slab, pack, n_tiles):
+                 termination_eps, thick, n_slab, pack, n_tiles,
+                 a_start=0.0, a_body=None):
     """Shared fwd/bwd wrapper prep: ray rows, per-tile and global SMEM
     metadata.  Returns (rows_data [7 images], hit image, tmeta, gmeta)."""
     from volumetric_renderer_tpu.core.sampling import ray_box_intersect
@@ -528,6 +667,10 @@ def _prep_inputs(origin, dirs, dmin, dmax, smin, smax, *, comps, reverse,
     gmeta = gmeta.at[_G_THICK].set(float(thick))
     gmeta = gmeta.at[_G_NSLAB].set(float(n_slab))
     gmeta = gmeta.at[_G_REV].set(1.0 if reverse else 0.0)
+    a_start = jnp.asarray(a_start, jnp.float32)
+    body_f = float(a_body) if a_body is not None else na_f
+    gmeta = gmeta.at[_G_ASTART].set(a_start)
+    gmeta = gmeta.at[_G_CEND].set(a_start + body_f)
     gmeta = gmeta.reshape(1, 1, _GMETA_LEN)
     return rows_data, hit, tmeta, gmeta
 
@@ -538,7 +681,8 @@ def make_slab_renderer(num_steps: int, step_size: float,
                        vol_shape: tuple, ntf: int, height: int, width: int,
                        axis: int = 0, reverse: bool = False,
                        mode: str = "exact", interpret: bool = False,
-                       vary_axes: tuple = ()):
+                       vary_axes: tuple = (), a_body: int = None,
+                       na_total: int = None):
     """Build the jittable slab-kernel forward for a static configuration.
 
     ``axis``: dominant camera axis in volume terms (0=z, 1=y, 2=x) — all
@@ -550,17 +694,30 @@ def make_slab_renderer(num_steps: int, step_size: float,
     — its outputs are declared varying over them (vma) so JAX's
     collective checker can verify the backward's psum placement.
 
-    Returns ``f(slabs, tf_table, origin, dirs, dmin, dmax, smin, smax)
-    -> rgba (H, W, 4)`` where ``slabs = build_slabs(vol, axis)``.
+    Depth-chunked rendering (``parallel/depth``, SURVEY §7.2.5 "v2"):
+    pass ``vol_shape`` = the LOCAL chunk's shape (its a-extent = body
+    rows + 1 halo row), ``a_body`` = its body row count, and
+    ``na_total`` = the full volume's a-extent; the returned function then
+    takes a trailing ``a_start`` scalar (the chunk's first global a-row,
+    traced — ``axis_index * body`` inside shard_map).  The kernel owns
+    exactly [a_start, a_start + a_body); partial images combine with the
+    associative over-operator.
+
+    Returns ``f(slabs, tf_table, origin, dirs, dmin, dmax, smin, smax
+    [, a_start]) -> rgba (H, W, 4)`` where ``slabs = build_slabs(vol,
+    axis)``.
     """
     perm = _PERMS[axis]
     zdim, ydim, xdim = vol_shape
     dims_zyx = (zdim, ydim, xdim)
-    na_dim = dims_zyx[perm[0]]
+    na_local = dims_zyx[perm[0]]
     nb_dim = dims_zyx[perm[1]]
     nc_dim = dims_zyx[perm[2]]
-    thick = _choose_thick(na_dim, nb_dim, nc_dim)
-    n_slab = -(-na_dim // thick)
+    chunked = na_total is not None
+    body = a_body if a_body is not None else na_local
+    na_math = na_total if chunked else na_local
+    thick = _choose_thick(body, nb_dim, nc_dim)
+    n_slab = -(-body // thick)
     rows = thick + 1
     levels = _make_levels(rows, nb_dim, nc_dim)
 
@@ -572,7 +729,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
     precision = _PRECISIONS[mode]
     kernel = _make_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
                           n_steps_static=num_steps, levels=levels,
-                          precision=precision)
+                          precision=precision, step_batch=_STEP_BATCH)
 
     def index_slab(s, t):
         return ((n_slab - 1 - s) if reverse else s, 0, 0, 0)
@@ -613,17 +770,23 @@ def make_slab_renderer(num_steps: int, step_size: float,
                                         vma=vma)),
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
+        # large-volume slabs (512^3: 1 MiB/row) need more than the 16 MiB
+        # default scoped-vmem flag; v5e has 128 MiB physical VMEM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
     )
 
-    def forward(slabs, tf_table, origin, dirs, dmin, dmax, smin, smax):
+    def forward(slabs, tf_table, origin, dirs, dmin, dmax, smin, smax,
+                a_start=0.0):
         rows_data, hit, tmeta, gmeta = _prep_inputs(
             origin, dirs, dmin, dmax, smin, smax,
             comps=(comp_a, comp_b, comp_c), reverse=reverse,
-            dims_abc=(na_dim, nb_dim, nc_dim), ntf=ntf,
+            dims_abc=(na_math, nb_dim, nc_dim), ntf=ntf,
             num_steps=num_steps, step_size=step_size,
             early_termination=early_termination,
             termination_eps=termination_eps, thick=thick, n_slab=n_slab,
-            pack=_pack_tiles, n_tiles=n_tiles)
+            pack=_pack_tiles, n_tiles=n_tiles,
+            a_start=a_start, a_body=body if chunked else None)
         rows_data = rows_data + [jnp.zeros_like(rows_data[0])]
         rays = jnp.stack([_pack_tiles(r) for r in rows_data], axis=1)
 
@@ -646,7 +809,8 @@ def make_slab_renderer(num_steps: int, step_size: float,
     return forward
 
 
-def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
+def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
+                     density_precision=None):
     """Backward kernel: re-march slab-by-slab and accumulate gradients.
 
     The transpose of ``volume.frag:44-50``'s compositing via the fused
@@ -659,8 +823,22 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
     (SURVEY hard-part 4: per-tile VMEM accumulation instead of scatters).
     TF-table gradients are one ray-contracted matmul per step into a
     VMEM-resident transposed (8, ntf) accumulator.
+
+    The gmeta _G_ASTART/_G_CEND chunk-ownership scalars work exactly as
+    in ``_make_kernel`` (depth-sharded growth path).
+
+    ``density_precision`` (default: ``precision``) sets the density
+    *recompute* matmuls separately: gradient accuracy is dominated by
+    DISCRETE flips — an approximate recomputed density can land in a
+    different TF bin (different lo/hi ⇒ different lerp slope) than the
+    forward did, an O(1) gradient error at a sparse voxel set — so the
+    recompute must reproduce the exact forward while the smooth gradient
+    matmuls tolerate lower precision (hardware-measured in
+    docs/PARITY.md).
     """
     rows = thick + 1
+    if density_precision is None:
+        density_precision = precision
 
     def kernel(gmeta, tmeta, flag, rays, slab, tft, state,
                state_out, flag_out, volg, tfg, sg):
@@ -676,11 +854,14 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
         n_slab = gmeta[0, 0, _G_NSLAB].astype(jnp.int32)
         rev = gmeta[0, 0, _G_REV] > 0.0
 
+        a_start_f = gmeta[0, 0, _G_ASTART]
+        cend = gmeta[0, 0, _G_CEND]
+
         s_log = pl.program_id(0)
         t_id = pl.program_id(1)
         s_act = jnp.where(rev, n_slab - 1 - s_log, s_log)
-        abase = s_act.astype(jnp.float32) * thick_f
-        abase_i = s_act * thick
+        abase = a_start_f + s_act.astype(jnp.float32) * thick_f
+        abase_i = a_start_f.astype(jnp.int32) + s_act * thick
 
         # Accumulator init on first visit of each output block.  The
         # gradient slab block is revisited across the whole tile sweep
@@ -695,8 +876,8 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
             for i in range(8):
                 sg[0, i] = 0.0
 
-        lo_own = jnp.where(s_act == 0, -1.0, abase)
-        hi_own = abase + thick_f
+        lo_own = jnp.where((s_act == 0) & (a_start_f == 0.0), -1.0, abase)
+        hi_own = jnp.minimum(abase + thick_f, cend)
 
         k_lo, k_hi = _k_interval(
             tmeta[0, 0, _T_FA0_MIN], tmeta[0, 0, _T_FA0_MAX],
@@ -815,10 +996,8 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                         v1 = jnp.zeros((P, nc), jnp.float32)
                         for rr in range(zw):
                             a_mat = wyt * wz_row(z0, rr)[:, None]
-                            v1 = v1 + jnp.dot(
-                                a_mat, slab[0, z0 + rr, :, :],
-                                precision=precision,
-                                preferred_element_type=jnp.float32)
+                            v1 = v1 + _pdot(a_mat, slab[0, z0 + rr, :, :],
+                                            density_precision)
                         wxt = _tent_lanes(cc, wc, nc)
                         return jnp.sum(v1 * wxt, axis=1)
                     y0, c0, lc = level_windows(yw, cw)
@@ -833,10 +1012,9 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                         else:
                             b_parts.append(slab[0, z0 + rr, pl.ds(y0, yw),
                                                 pl.ds(c0, cw)])
-                    v1 = jnp.dot(jnp.concatenate(a_parts, axis=1),
-                                 jnp.concatenate(b_parts, axis=0),
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
+                    v1 = _pdot(jnp.concatenate(a_parts, axis=1),
+                               jnp.concatenate(b_parts, axis=0),
+                               density_precision)
                     wxt = _tent_lanes(lc, wc, cw)
                     return jnp.sum(v1 * wxt, axis=1)
 
@@ -870,9 +1048,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                 lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
                 hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
                 wtf_t = _tf_weights_t(lo, hi, wt, ntf)
-                rgba_t = jnp.dot(tft[:, :], wtf_t,
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
+                rgba_t = _pdot(tft[:, :], wtf_t, density_precision)
                 a_raw = rgba_t[3, :]
                 clamped = a_raw > amax
                 a = jnp.where(active, jnp.minimum(a_raw, amax), 0.0)
@@ -901,18 +1077,15 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
 
                 # TF-table gradient (transposed accumulator, (8, ntf)):
                 # contract over rays without materializing any transpose
-                tfg[:, :] += jax.lax.dot_general(
-                    g8_t, wtf_t, (((1,), (1,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=jnp.float32)
+                tfg[:, :] += _pdotg(
+                    g8_t, wtf_t, (((1,), (1,)), ((), ())), precision)
 
                 # density cotangent via d rgba / dt = (tf[hi]-tf[lo]) * ntf
                 trows = jax.lax.broadcasted_iota(jnp.int32, (ntf, P), 0)
                 dwtf_t = (jnp.where(trows == hi[None, :], 1.0, 0.0)
                           - jnp.where(trows == lo[None, :], 1.0, 0.0)
                           ) * float(ntf)
-                drgba_t = jnp.dot(tft[:, :], dwtf_t, precision=precision,
-                                  preferred_element_type=jnp.float32)
+                drgba_t = _pdot(tft[:, :], dwtf_t, precision)
                 dL_dt = jnp.sum(g8_t * drgba_t, axis=0)
                 dd = dL_dt * inv_w
                 dming_v = dming_v + dL_dt * (t - 1.0) * inv_w
@@ -927,10 +1100,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                         ddwxt = dd[:, None] * _tent_lanes(cc, wc, nc)
                         for rr in range(zw):
                             a_mat = wyt * wz_row(z0, rr)[:, None]
-                            m = jax.lax.dot_general(
-                                a_mat, ddwxt, (((0,), (0,)), ((), ())),
-                                precision=precision,
-                                preferred_element_type=jnp.float32)
+                            m = _pdotg(a_mat, ddwxt, (((0,), (0,)), ((), ())), precision)
                             volg[0, z0 + rr, :, :] += m
                         return jnp.int32(0)
                     y0, c0, lc = level_windows(yw, cw)
@@ -938,11 +1108,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision):
                     ddwxt = dd[:, None] * _tent_lanes(lc, wc, cw)
                     a_parts = [wyt * wz_row(z0, rr)[:, None]
                                for rr in range(zw)]
-                    m_big = jax.lax.dot_general(
-                        jnp.concatenate(a_parts, axis=1), ddwxt,
-                        (((0,), (0,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
+                    m_big = _pdotg(jnp.concatenate(a_parts, axis=1), ddwxt, (((0,), (0,)), ((), ())), precision)
                     for rr in range(zw):
                         m = m_big[rr * yw:(rr + 1) * yw, :]
                         if cw >= nc:
@@ -994,7 +1160,8 @@ def make_slab_bwd(num_steps: int, step_size: float,
                   vol_shape: tuple, ntf: int, height: int, width: int,
                   axis: int = 0, reverse: bool = False,
                   mode: str = "exact", interpret: bool = False,
-                  vary_axes: tuple = ()):
+                  vary_axes: tuple = (), a_body: int = None,
+                  na_total: int = None):
     """Build the Pallas backward for a static configuration.
 
     Returns ``bwd(vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g)
@@ -1004,20 +1171,29 @@ def make_slab_bwd(num_steps: int, step_size: float,
     perm = _PERMS[axis]
     zdim, ydim, xdim = vol_shape
     dims_zyx = (zdim, ydim, xdim)
-    na_dim = dims_zyx[perm[0]]
+    na_local = dims_zyx[perm[0]]
     nb_dim = dims_zyx[perm[1]]
     nc_dim = dims_zyx[perm[2]]
-    thick = _choose_thick(na_dim, nb_dim, nc_dim,
+    chunked = na_total is not None
+    body = a_body if a_body is not None else na_local
+    na_math = na_total if chunked else na_local
+    thick = _choose_thick(body, nb_dim, nc_dim,
                           vmem_budget=_BWD_VMEM_BUDGET)
-    n_slab = -(-na_dim // thick)
+    n_slab = -(-body // thick)
     rows = thick + 1
     levels = _make_levels(rows, nb_dim, nc_dim)
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
     precision = _PRECISIONS[mode]
+    # density recompute + re-composited opacity must reproduce the exact
+    # forward bit-for-bit in every mode except "fast": approximate
+    # densities flip TF-bin indices (see _make_bwd_kernel docstring)
+    density_precision = (jax.lax.Precision.HIGHEST if mode != "fast"
+                         else jax.lax.Precision.DEFAULT)
     kernel = _make_bwd_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
-                              levels=levels, precision=precision)
+                              levels=levels, precision=precision,
+                              density_precision=density_precision)
 
     def index_slab(s, t):
         return ((n_slab - 1 - s) if reverse else s, 0, 0, 0)
@@ -1070,21 +1246,26 @@ def make_slab_bwd(num_steps: int, step_size: float,
                    jax.ShapeDtypeStruct((1, 8), jnp.float32, vma=vma)),
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
+        # see the forward call: 512^3 gradient slabs exceed the default
+        # 16 MiB scoped-vmem flag (measured: 17.4 MiB at 512^3)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
     )
 
     inv_perm = tuple(int(i) for i in np.argsort(perm))
 
     def backward(vol, tf_table, origin, dirs, dmin, dmax, smin, smax,
-                 out, g):
-        slabs = build_slabs(vol, axis, thick=thick)
+                 out, g, a_start=0.0):
+        slabs = build_slabs(vol, axis, thick=thick, body=body)
         rows_data, hit, tmeta, gmeta = _prep_inputs(
             origin, dirs, dmin, dmax, smin, smax,
             comps=(comp_a, comp_b, comp_c), reverse=reverse,
-            dims_abc=(na_dim, nb_dim, nc_dim), ntf=ntf,
+            dims_abc=(na_math, nb_dim, nc_dim), ntf=ntf,
             num_steps=num_steps, step_size=step_size,
             early_termination=early_termination,
             termination_eps=termination_eps, thick=thick, n_slab=n_slab,
-            pack=_pack_tiles, n_tiles=n_tiles)
+            pack=_pack_tiles, n_tiles=n_tiles,
+            a_start=a_start, a_body=body if chunked else None)
 
         g_rgb = g[..., :3]
         g_alpha = jnp.where(hit, g[..., 3], 0.0)
@@ -1106,32 +1287,41 @@ def make_slab_bwd(num_steps: int, step_size: float,
 
         # reassemble: body rows tile the padded axis; halo rows (shared
         # with the next slab's row 0) add at the slab boundaries
-        body = volg[:, :thick].reshape(n_slab * thick, nb_dim, nc_dim)
+        body_g = volg[:, :thick].reshape(n_slab * thick, nb_dim, nc_dim)
         vg_p = jnp.concatenate(
-            [body, jnp.zeros((1, nb_dim, nc_dim), jnp.float32)])
+            [body_g, jnp.zeros((1, nb_dim, nc_dim), jnp.float32)])
         halo_rows = thick * (jnp.arange(n_slab, dtype=jnp.int32) + 1)
         vg_p = vg_p.at[halo_rows].add(volg[:, thick])
-        vol_g = jnp.transpose(vg_p[:na_dim], inv_perm)
+        vol_g = jnp.transpose(vg_p[:na_local], inv_perm)
         return vol_g, tfg[:4, :].T, sg[0, 0], sg[0, 1]
 
     return backward
 
 
 def build_slabs(vol: jnp.ndarray, axis: int = 0,
-                thick: int | None = None) -> jnp.ndarray:
+                thick: int | None = None,
+                body: int | None = None) -> jnp.ndarray:
     """Decompose ``vol[Z, Y, X]`` into halo'd slabs along ``axis``.
 
     Returns ``(S, thick+1, B, C)`` f32 with one halo row per slab (the
     trilinear +1 corner) and zero padding past the volume edge — the
     transparent-black border, materialized.
+
+    ``body``: how many leading a-rows are *owned* rows (slab count is
+    ``ceil(body / thick)``); the remainder of the input (e.g. a depth
+    chunk's +1 halo row from the neighbouring chunk) only fills slab
+    halos.  Default: the whole input.
     """
     vol = jnp.asarray(vol, jnp.float32)
     vp = jnp.transpose(vol, _PERMS[axis])
     a_dim, b_dim, c_dim = vp.shape
+    if body is None:
+        body = a_dim
     if thick is None:
-        thick = _choose_thick(a_dim, b_dim, c_dim)
-    n_slab = -(-a_dim // thick)
-    vp = jnp.pad(vp, ((0, n_slab * thick + 1 - a_dim), (0, 0), (0, 0)))
+        thick = _choose_thick(body, b_dim, c_dim)
+    n_slab = -(-body // thick)
+    vp = jnp.pad(vp, ((0, max(0, n_slab * thick + 1 - a_dim)), (0, 0),
+                      (0, 0)))
     return jnp.stack([
         jax.lax.dynamic_slice_in_dim(vp, s * thick, thick + 1, axis=0)
         for s in range(n_slab)])
@@ -1180,9 +1370,15 @@ def count_envelope_violations(camera, height: int, width: int,
     """
     from volumetric_renderer_tpu.scene.camera import ray_grid
 
-    origin, dirs = ray_grid(camera, height, width, fov_y_degrees, near, far)
-    return count_envelope_violations_rays(np.asarray(origin) + 0.5,
-                                          np.asarray(dirs), axis, reverse)
+    # the camera is concrete, but under a jit trace every jnp op is
+    # staged regardless (omnistaging) — force compile-time evaluation so
+    # this check stays a trace-time constant
+    with jax.ensure_compile_time_eval():
+        origin, dirs = ray_grid(camera, height, width, fov_y_degrees,
+                                near, far)
+        return count_envelope_violations_rays(np.asarray(origin) + 0.5,
+                                              np.asarray(dirs), axis,
+                                              reverse)
 
 
 def choose_axis(camera_forward) -> tuple:
@@ -1231,7 +1427,8 @@ def make_slab_marcher(num_steps: int, step_size: float,
                       axis: int = 0, reverse: bool = False,
                       mode: str = "exact", interpret: bool = False,
                       vary_axes: tuple = (), bwd: str = "slab",
-                      bwd_mode: str = "exact"):
+                      bwd_mode: str = "high", a_body: int = None,
+                      na_total: int = None, vol_vary_axes: tuple = None):
     """Slab kernel with the standard marcher signature and a custom VJP.
 
     ``f(vol, tf, origin, dirs, dmin, dmax, smin, smax) -> rgba`` — the
@@ -1252,43 +1449,68 @@ def make_slab_marcher(num_steps: int, step_size: float,
                               termination_eps, vol_shape, ntf, height,
                               width, axis=axis, reverse=reverse,
                               mode=mode, interpret=interpret,
-                              vary_axes=vary_axes)
+                              vary_axes=vary_axes, a_body=a_body,
+                              na_total=na_total)
+    if vol_vary_axes is None:
+        vol_vary_axes = vary_axes
+    chunked = na_total is not None
+    if chunked and bwd != "slab":
+        raise ValueError("depth-chunked marchers need bwd='slab'")
+    # forward slab geometry must match the renderer's
+    dims_zyx = tuple(vol_shape)
+    nb_d = dims_zyx[_PERMS[axis][1]]
+    nc_d = dims_zyx[_PERMS[axis][2]]
+    fwd_body = a_body if a_body is not None else dims_zyx[_PERMS[axis][0]]
+    fwd_thick = _choose_thick(fwd_body, nb_d, nc_d)
 
     @jax.custom_vjp
-    def march(vol, tf, origin, dirs, dmin, dmax, smin, smax):
-        slabs = build_slabs(vol, axis)
-        return rend(slabs, tf, origin, dirs, dmin, dmax, smin, smax)
+    def march(vol, tf, origin, dirs, dmin, dmax, smin, smax, a_start):
+        slabs = build_slabs(vol, axis, thick=fwd_thick, body=fwd_body)
+        return rend(slabs, tf, origin, dirs, dmin, dmax, smin, smax,
+                    a_start)
 
-    def march_fwd(vol, tf, origin, dirs, dmin, dmax, smin, smax):
-        out = march(vol, tf, origin, dirs, dmin, dmax, smin, smax)
-        return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax, out)
+    def march_fwd(vol, tf, origin, dirs, dmin, dmax, smin, smax, a_start):
+        out = march(vol, tf, origin, dirs, dmin, dmax, smin, smax, a_start)
+        return out, (vol, tf, origin, dirs, dmin, dmax, smin, smax,
+                     a_start, out)
 
     if bwd == "slab":
-        # ``bwd_mode`` sets the backward re-march's matmul precision
-        # independently of the forward display precision ("exact" =
-        # HIGHEST, "high" = bf16x3 at ~2x the speed with ~1e-6 relative
-        # error — hardware-measured in docs/PARITY.md).  Note that with
-        # mode="fast" the saved forward output seeds the suffix term
-        # (big_g / tr_fin), so gradient accuracy is bounded by the
-        # forward's approximation error regardless of bwd_mode.
+        # ``bwd_mode`` sets the backward's gradient-matmul precision;
+        # the density recompute stays exact in every mode but "fast"
+        # (approximate densities flip TF-bin indices — see
+        # _make_bwd_kernel).  Hardware-measured (docs/PARITY.md):
+        # "exact" 4.6x fwd / grad parity 1.7e-5; "high" (default,
+        # manual bf16x3) 3.8x fwd / 5.8e-5 — both inside the 1e-4
+        # BASELINE bound; "fast" 2.1x fwd / 7e-2 (training only).
+        # With mode="fast" the saved forward output seeds the suffix
+        # term (big_g / tr_fin), so gradient accuracy is additionally
+        # bounded by the forward's approximation error.
         bwd_fn = make_slab_bwd(num_steps, step_size, early_termination,
                                termination_eps, vol_shape, ntf, height,
                                width, axis=axis, reverse=reverse,
                                mode=bwd_mode, interpret=interpret,
-                               vary_axes=vary_axes)
+                               a_body=a_body, na_total=na_total)
 
         def march_bwd(res, g):
-            vol, tf, origin, dirs, dmin, dmax, smin, smax, out = res
+            (vol, tf, origin, dirs, dmin, dmax, smin, smax, a_start,
+             out) = res
             vol_g, tf_g, dmin_g, dmax_g = bwd_fn(
-                vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g)
+                vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g,
+                a_start)
             if vary_axes:
                 # replicated-input cotangents all-reduce over the mesh —
-                # the north-star grid/TF gradient psum over ICI
-                vol_g, tf_g, dmin_g, dmax_g = jax.lax.psum(
-                    (vol_g, tf_g, dmin_g, dmax_g), vary_axes)
+                # the north-star grid/TF gradient psum over ICI.  A
+                # depth-sharded grid is NOT replicated over the depth
+                # axis, so its grads psum only over vol_vary_axes (the
+                # pixel axes).
+                tf_g, dmin_g, dmax_g = jax.lax.psum(
+                    (tf_g, dmin_g, dmax_g), vary_axes)
+                if vol_vary_axes:
+                    vol_g = jax.lax.psum(vol_g, vol_vary_axes)
             zeros3 = jnp.zeros(3, jnp.float32)
             return (vol_g, tf_g, jnp.zeros_like(origin),
-                    jnp.zeros_like(dirs), dmin_g, dmax_g, zeros3, zeros3)
+                    jnp.zeros_like(dirs), dmin_g, dmax_g, zeros3, zeros3,
+                    jnp.zeros((), jnp.float32))
     else:
         from volumetric_renderer_tpu.core.fused import make_fused_marcher
 
@@ -1296,10 +1518,15 @@ def make_slab_marcher(num_steps: int, step_size: float,
                                    termination_eps, vary_axes=vary_axes)
 
         def march_bwd(res, g):
-            vol, tf, origin, dirs, dmin, dmax, smin, smax, _ = res
+            vol, tf, origin, dirs, dmin, dmax, smin, smax, _, _ = res
             _, vjp = jax.vjp(fused, vol, tf, origin, dirs, dmin, dmax,
                              smin, smax)
-            return vjp(g)
+            return vjp(g) + (jnp.zeros((), jnp.float32),)
 
     march.defvjp(march_fwd, march_bwd)
-    return march
+    if chunked:
+        return march               # f(..., a_start) — depth-chunk form
+    return functools.wraps(march)(
+        lambda vol, tf, origin, dirs, dmin, dmax, smin, smax: march(
+            vol, tf, origin, dirs, dmin, dmax, smin, smax,
+            jnp.float32(0.0)))
