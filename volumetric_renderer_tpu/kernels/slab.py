@@ -130,22 +130,24 @@ def _tent_lanes(idx, w, width, valid=None):
     return t
 
 
-def _tf_weights_t(idx_lo, idx_hi, w, width):
+def _tf_weights_t(x, width):
     """(width, P) *transposed* clamp-to-edge lerp weights for the TF fetch.
 
+    ``x`` is the RAW (unclipped) texel-space coordinate ``t*ntf - 0.5``.
     Weight (1-w) on clip(i0) and w on clip(i0+1); when both clamp to the
     same texel the weights sum to 1 — exactly ``tf[lo]*(1-wt) + tf[hi]*wt``
     (core.blocked's formulation).  Built as the tent
-    ``relu(1 - |row - clip(i0 + w, 0, width-1)|)``: interior texels get
-    the lerp weights verbatim, and clamping the *coordinate* reproduces
-    the summed edge weight (a single 1.0 on the edge texel).  Transposed
-    so the fetch runs as ``(8, ntf) @ (ntf, P)``: the matmul's minor
-    output dim is P (a full lane tile) instead of an 8->128 zero-padded
-    one — 16x less MXU work than the (P, ntf) @ (ntf, 8) orientation.
+    ``relu(1 - |row - clip(x, 0, width-1)|)``: interior texels get the
+    lerp weights verbatim, and clamping the *coordinate* reproduces the
+    summed edge weight (a single 1.0 on the edge texel) — which is why
+    the input must be unclipped: feeding ``clip(i0) + w`` would smear an
+    out-of-range-below sample across texels 0 and 1.  Transposed so the
+    fetch runs as ``(8, ntf) @ (ntf, P)``: the matmul's minor output dim
+    is P (a full lane tile) instead of an 8->128 zero-padded one — 16x
+    less MXU work than the (P, ntf) @ (ntf, 8) orientation.
     """
-    rows = jax.lax.broadcasted_iota(jnp.float32, (width, idx_lo.shape[0]),
-                                    0)
-    f = jnp.clip(idx_lo.astype(jnp.float32) + w, 0.0, float(width - 1))
+    rows = jax.lax.broadcasted_iota(jnp.float32, (width, x.shape[0]), 0)
+    f = jnp.clip(x, 0.0, float(width - 1))
     return jnp.maximum(0.0, 1.0 - jnp.abs(rows - f[None, :]))
 
 
@@ -394,11 +396,7 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision,
                     t = (density - dmin) * inv_w
                     t = jnp.where(s["act"], t, 0.0)  # NaN containment
                     x = t * float(ntf) - 0.5
-                    i0t = jnp.floor(x)
-                    wt = x - i0t
-                    lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
-                    hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
-                    wtfs.append(_tf_weights_t(lo, hi, wt, ntf))
+                    wtfs.append(_tf_weights_t(x, ntf))
                 rgba_t = _pdot(tft[:, :], jnp.concatenate(wtfs, axis=1),
                                precision)
 
@@ -1047,7 +1045,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                 wt = x - i0t
                 lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
                 hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
-                wtf_t = _tf_weights_t(lo, hi, wt, ntf)
+                wtf_t = _tf_weights_t(x, ntf)
                 rgba_t = _pdot(tft[:, :], wtf_t, density_precision)
                 a_raw = rgba_t[3, :]
                 clamped = a_raw > amax
