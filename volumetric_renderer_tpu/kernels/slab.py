@@ -122,7 +122,10 @@ def _tent_lanes(idx, w, width, valid=None):
     reference's CLAMP_TO_BORDER sampler (offscreen_pass.cpp:1020-1030).
     ``valid`` optionally masks whole rays.
     """
-    lanes = jax.lax.broadcasted_iota(jnp.float32, (idx.shape[0], width), 1)
+    # int iota + cast: Mosaic's tpu.iota is integer-only (a raw f32 iota
+    # trips a verifier error for shapes where the cast isn't auto-fused)
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (idx.shape[0], width), 1).astype(jnp.float32)
     f = idx.astype(jnp.float32) + w
     t = jnp.maximum(0.0, 1.0 - jnp.abs(lanes - f[:, None]))
     if valid is not None:
@@ -146,7 +149,8 @@ def _tf_weights_t(x, width):
     is P (a full lane tile) instead of an 8->128 zero-padded one — 16x
     less MXU work than the (P, ntf) @ (ntf, 8) orientation.
     """
-    rows = jax.lax.broadcasted_iota(jnp.float32, (width, x.shape[0]), 0)
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (width, x.shape[0]), 0).astype(jnp.float32)
     f = jnp.clip(x, 0.0, float(width - 1))
     return jnp.maximum(0.0, 1.0 - jnp.abs(rows - f[None, :]))
 
