@@ -157,7 +157,8 @@ def slab_args(cam):
                 slab_reverse=reverse, interpret=True)
 
 
-@pytest.mark.parametrize("layout", ["contiguous", "cyclic", "tile-cyclic"])
+@pytest.mark.parametrize("layout", ["contiguous", "cyclic", "tile-cyclic",
+                                    "tile-shuffle"])
 def test_sharded_slab_forward_matches_unsharded(layout):
     """The PRODUCTION kernel under the mesh (BASELINE config 5 path):
     slab Pallas forward per shard, both row layouts, vs the unsharded
@@ -225,7 +226,8 @@ def test_sharded_slab_hlo_audit():
     assert "all-reduce" in bwd_hlo, "slab grid/TF gradient psum missing"
 
 
-@pytest.mark.parametrize("layout", ["contiguous", "cyclic", "tile-cyclic"])
+@pytest.mark.parametrize("layout", ["contiguous", "cyclic", "tile-cyclic",
+                                    "tile-shuffle"])
 @pytest.mark.parametrize("hw", [(24, 16), (30, 20), (48, 48)])
 def test_make_layout_roundtrip(layout, hw):
     """pack -> unpack is the identity on any (H, W, C); valid marks

@@ -118,7 +118,8 @@ def main(argv=None):
                 band_ms=[round(t_full * 1e3, 2)], efficiency=1.0)}))
             continue
         entry = dict(devices=n, layouts={})
-        for layout in ("contiguous", "cyclic", "tile-cyclic"):
+        for layout in ("contiguous", "cyclic", "tile-cyclic",
+                       "tile-shuffle"):
             gh, gw, pack, _, valid = make_layout(layout, h, w, n)
             band_h = gh // n
             dirs_g = pack(dirs)

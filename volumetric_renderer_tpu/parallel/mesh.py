@@ -88,6 +88,11 @@ def make_layout(layout: str, h: int, w: int, n_dev: int, tile: int = 16):
       the kernel tiles it back into exactly the original 16x16 tiles, so
       per-tile windows are identical to the unsharded render.  ~100x
       finer balance quantum than "cyclic" (a tile, not a row of tiles).
+    * ``"tile-shuffle"`` — tile-cyclic after a fixed seeded permutation
+      of the tile order.  Raster-order round-robin keeps a spatial
+      stride-n correlation (device d always gets the same columns-mod-n
+      of every tile row); shuffling decorrelates it, tightening the
+      band-time spread toward the mean (SCALING artifact).
     """
     if layout == "contiguous":
         gh = -(-h // n_dev) * n_dev
@@ -104,11 +109,13 @@ def make_layout(layout: str, h: int, w: int, n_dev: int, tile: int = 16):
         return gh, w, pack, unpack, jnp.asarray(valid)
     elif layout == "cyclic":
         gh, perm, _ = cyclic_row_layout(h, n_dev, tile)
-    elif layout == "tile-cyclic":
+    elif layout in ("tile-cyclic", "tile-shuffle"):
         ht, wt = -(-h // tile), -(-w // tile)
         tp = -(-(ht * wt) // n_dev) * n_dev
-        order = np.concatenate(
-            [np.arange(d, tp, n_dev) for d in range(n_dev)])
+        idx = np.arange(tp)
+        if layout == "tile-shuffle":
+            idx = np.random.Generator(np.random.PCG64(0)).permutation(tp)
+        order = np.concatenate([idx[d::n_dev] for d in range(n_dev)])
         gh, gw = tp * tile, tile
 
         def pack(img):
