@@ -37,7 +37,8 @@ def scene():
 
 
 def _march(vol, tf, cam, h=H, w=W, *, et=False, eps=1.0 / 255.0,
-           smin=None, smax=None, mode="exact", steps=STEPS):
+           smin=None, smax=None, mode="exact", steps=STEPS,
+           step_batch=0):
     origin, dirs = ray_grid(cam, h, w)
     origin = origin + 0.5
     smin = jnp.zeros(3) if smin is None else jnp.asarray(smin, jnp.float32)
@@ -53,7 +54,8 @@ def _march(vol, tf, cam, h=H, w=W, *, et=False, eps=1.0 / 255.0,
     axis, reverse = choose_axis_from_camera(cam)
     marcher = make_slab_marcher(steps, step, et, eps, tuple(vol.shape),
                                 tf.shape[0], h, w, axis=axis,
-                                reverse=reverse, mode=mode, interpret=True)
+                                reverse=reverse, mode=mode, interpret=True,
+                                step_batch=step_batch)
     got = marcher(vol, tf, origin, dirs, dmin, dmax, smin, smax)
     return np.asarray(got), np.asarray(ref)
 
@@ -72,6 +74,70 @@ def test_matches_oracle_early_termination(scene):
     cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
     got, ref = _march(vol, tf, cam, et=True)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("yaw,pitch,batch", [(30.0, 20.0, 4),
+                                             (120.0, -35.0, 3),
+                                             (200.0, 5.0, 8),
+                                             (0.0, 80.0, 2)])
+def test_matches_oracle_step_batched(scene, yaw, pitch, batch):
+    """Forward step batching (fused (B*P, K) matmuls in the hot loop):
+    bit-exact parity with the oracle at every batch size across all slab
+    orientations, including a batch that doesn't divide the step count."""
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=yaw, pitch_deg=pitch)
+    got, ref = _march(vol, tf, cam, step_batch=batch)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_matches_oracle_step_batched_early_termination(scene):
+    """BATCH>1 with the in-slab while_loop exit: masking semantics must
+    keep the batched ET image identical to the oracle's per-ray break."""
+    vol, tf = scene
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    got, ref = _march(vol, tf, cam, et=True, step_batch=4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("bwd_batch,et", [(2, False), (4, True), (3, False)])
+def test_backward_step_batched_matches_oracle(bwd_batch, et):
+    """The Pallas backward's step batching: gradient parity vs the
+    oracle's autodiff at BATCH>1 (incl. non-dividing batch and ET)."""
+    import jax
+
+    vol = Volume.synthetic_sphere(12).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(8))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, 8) ** 2)
+    cam = OrbitCamera.from_angles(yaw_deg=120.0, pitch_deg=-35.0)
+    origin, dirs = ray_grid(cam, 16, 16)
+    origin = origin + 0.5
+    smin, smax = jnp.zeros(3), jnp.ones(3)
+
+    axis, reverse = choose_axis_from_camera(cam)
+    marcher = make_slab_marcher(20, 1.8 / 20, et, 1.0 / 255.0,
+                                tuple(vol.shape), tf.shape[0], 16, 16,
+                                axis=axis, reverse=reverse, interpret=True,
+                                bwd="slab", bwd_mode="exact",
+                                bwd_step_batch=bwd_batch)
+
+    def loss_slab(v, t, dmn, dmx):
+        return jnp.sum(marcher(v, t, origin, dirs, dmn, dmx, smin, smax)
+                       ** 2)
+
+    def loss_oracle(v, t, dmn, dmx):
+        img = march_rays(v, t, origin, dirs, density_min=dmn,
+                         density_max=dmx, slice_min=smin, slice_max=smax,
+                         num_steps=20, step_size=1.8 / 20,
+                         early_termination=et, termination_eps=1.0 / 255.0)
+        return jnp.sum(img ** 2)
+
+    g = jax.grad(loss_slab, argnums=(0, 1, 2, 3))(
+        vol, tf, jnp.float32(0.0), jnp.float32(1.0))
+    r = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(
+        vol, tf, jnp.float32(0.0), jnp.float32(1.0))
+    for got, ref in zip(g, r):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
 
 
 def test_matches_oracle_slicing(scene):

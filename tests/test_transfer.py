@@ -82,3 +82,43 @@ def test_sample_tf_gradient_flows():
     g = jax.grad(f)(table)
     assert float(jnp.sum(g)) == pytest.approx(8.0, rel=1e-5)
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_marker_move_drag_semantics():
+    # mirrors gradient.cpp:565-592: clamp, sort-order shuffle, endpoints
+    # locked and never displaced
+    g = Gradient()
+    i_a = g.add_color_marker(0.3, (1, 0, 0))
+    i_b = g.add_color_marker(0.6, (0, 1, 0))
+    assert (i_a, i_b) == (1, 2)
+    # drag A past B: shuffles up exactly one slot
+    ni = g.move_color_marker(i_a, 0.7)
+    assert ni == 2
+    assert g.color_markers[1][0] == 0.6          # B slid down
+    assert g.color_markers[2][0] == 0.7
+    np.testing.assert_array_equal(g.color_markers[2][1], [1, 0, 0])
+    # drag past the end: clamps to 1.0 but parks at len-2, endpoint intact
+    ni = g.move_color_marker(ni, 5.0)
+    assert ni == len(g.color_markers) - 2
+    assert g.color_markers[ni][0] == 1.0
+    assert g.color_markers[-1][0] == 1.0         # locked endpoint still last
+    # endpoints refuse to move (state.dragging never arms for them)
+    assert g.move_color_marker(0, 0.5) == 0
+    assert g.color_markers[0][0] == 0.0
+    last = len(g.alpha_markers) - 1
+    assert g.move_alpha_marker(last, 0.2) == last
+    assert g.alpha_markers[last][0] == 1.0
+
+
+def test_marker_set_value_in_place():
+    g = Gradient()
+    i = g.add_alpha_marker(0.4, 0.9)
+    g.set_alpha_marker(i, 0.25)
+    assert g.alpha_markers[i] == (0.4, 0.25)
+    # endpoints re-colorable (only drag/delete are locked in the editor)
+    g.set_color_marker(0, (0.5, 0.5, 0.5))
+    assert g.color_markers[0][0] == 0.0
+    np.testing.assert_allclose(g.color_markers[0][1], [0.5, 0.5, 0.5])
+    # the edit flows into discretize
+    t = g.discretize(8)
+    np.testing.assert_allclose(t[0, :3], [0.5, 0.5, 0.5], atol=0.1)

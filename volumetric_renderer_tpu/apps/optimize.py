@@ -50,8 +50,10 @@ def main(argv=None):
                     choices=["auto", "slab", "fused", "blocked"],
                     help="auto = the production slab Pallas kernel on "
                          "TPU (fwd + Pallas bwd), fused XLA elsewhere")
+    from volumetric_renderer_tpu.parallel.mesh import LAYOUTS
+
     ap.add_argument("--row-layout", default="tile-cyclic",
-                    choices=["tile-cyclic", "cyclic", "contiguous"],
+                    choices=list(LAYOUTS),
                     help="pixel distribution over the mesh (tile-cyclic = "
                          "16x16 tiles round-robin, the load-balanced "
                          "production layout per SCALING_r03)")

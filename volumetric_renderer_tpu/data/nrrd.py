@@ -330,10 +330,10 @@ def read_nrrd_header(path: str) -> Tuple[NrrdHeader, int]:
     """
     with open(path, "rb") as f:
         data = f.read()
-    return _parse_from_bytes(data, allow_detached=True)
+    return _parse_from_bytes(data)
 
 
-def _parse_from_bytes(data: bytes, allow_detached: bool) -> Tuple[NrrdHeader, int]:
+def _parse_from_bytes(data: bytes) -> Tuple[NrrdHeader, int]:
     nl = data.find(b"\n")
     if nl < 0:
         raise NrrdError("no header")
@@ -386,7 +386,7 @@ def read_nrrd_raw(path: str) -> Tuple[NrrdHeader, np.ndarray]:
     path = os.fspath(path)
     with open(path, "rb") as f:
         blob = f.read()
-    h, offset = _parse_from_bytes(blob, allow_detached=True)
+    h, offset = _parse_from_bytes(blob)
 
     if h.data_files is None:
         payload = _apply_skips(h, blob[offset:], attached=True)

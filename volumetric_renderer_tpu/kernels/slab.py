@@ -419,11 +419,31 @@ def _make_kernel(*, thick, nb, nc, ntf, n_steps_static, levels, precision,
                     tr = tr * (1.0 - a)
                 return r, g, b, tr
 
-            carry = (state[0, 0, :], state[0, 1, :],
+            carry = (jnp.int32(0), state[0, 0, :], state[0, 1, :],
                      state[0, 2, :], state[0, 3, :])
             n_iter = (k_hi - k_lo + BATCH - 1) // BATCH
-            r, g, b, tr = jax.lax.fori_loop(0, n_iter, step_batch_body,
-                                            carry)
+
+            # In-slab early termination (SURVEY hard-part 3, the other
+            # half): the SMEM flag only skips FUTURE slabs; this exits the
+            # k-loop as soon as every hit ray's transmittance is dead, so
+            # an opaque surface mid-slab stops paying for the rest of the
+            # slab's steps.  One (P,)->scalar lane reduction per
+            # iteration; per-ray masking semantics are unchanged (a
+            # dead-tile step composites exactly zero), so output is
+            # bit-identical to the masked full loop.
+            def loop_cond(c):
+                j, _, _, _, tr = c
+                live = jnp.max(jnp.where(hit, tr, 0.0))
+                return (j < n_iter) & (jnp.logical_not(et_on)
+                                       | (live > eps_t))
+
+            def loop_body(c):
+                j, r, g, b, tr = c
+                r, g, b, tr = step_batch_body(j, (r, g, b, tr))
+                return (j + 1, r, g, b, tr)
+
+            _, r, g, b, tr = jax.lax.while_loop(loop_cond, loop_body,
+                                                carry)
             state_out[0, 0, :] = r
             state_out[0, 1, :] = g
             state_out[0, 2, :] = b
@@ -452,6 +472,7 @@ import os as _os
 _FWD_VMEM_BUDGET = int(_os.environ.get("VRT_FWD_VMEM_MB", "9")) * 2 ** 20
 _MIN_ROWS = int(_os.environ.get("VRT_MIN_ROWS", "12"))
 _STEP_BATCH = int(_os.environ.get("VRT_STEP_BATCH", "1"))
+_BWD_STEP_BATCH = int(_os.environ.get("VRT_BWD_STEP_BATCH", "1"))
 
 
 def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=None, min_rows=None):
@@ -684,7 +705,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
                        axis: int = 0, reverse: bool = False,
                        mode: str = "exact", interpret: bool = False,
                        vary_axes: tuple = (), a_body: int = None,
-                       na_total: int = None):
+                       na_total: int = None, step_batch: int = 0):
     """Build the jittable slab-kernel forward for a static configuration.
 
     ``axis``: dominant camera axis in volume terms (0=z, 1=y, 2=x) — all
@@ -729,9 +750,13 @@ def make_slab_renderer(num_steps: int, step_size: float,
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
 
     precision = _PRECISIONS[mode]
+    # step_batch 0 = the VRT_STEP_BATCH env default (explicit values are
+    # part of the lru_cache key, so tests can build BATCH>1 kernels
+    # without env tricks)
     kernel = _make_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
                           n_steps_static=num_steps, levels=levels,
-                          precision=precision, step_batch=_STEP_BATCH)
+                          precision=precision,
+                          step_batch=step_batch or _STEP_BATCH)
 
     def index_slab(s, t):
         return ((n_slab - 1 - s) if reverse else s, 0, 0, 0)
@@ -812,7 +837,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
 
 
 def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
-                     density_precision=None):
+                     density_precision=None, step_batch=1):
     """Backward kernel: re-march slab-by-slab and accumulate gradients.
 
     The transpose of ``volume.frag:44-50``'s compositing via the fused
@@ -839,6 +864,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
     docs/PARITY.md).
     """
     rows = thick + 1
+    BATCH = step_batch
     if density_precision is None:
         density_precision = precision
 
@@ -912,57 +938,37 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
             nc_f = gmeta[0, 0, _G_NC]
             nb_f = gmeta[0, 0, _G_NB]
 
-            def step(k, carry):
+            def step_batch_body(j, carry):
+                """One loop iteration = BATCH consecutive steps, the
+                forward's step_batch_body mirrored for the gradient pass:
+                window bounds and the level switch run once per batch,
+                the density recompute / TF fetch / TF-table-grad /
+                TF-slope / voxel-scatter matmuls fuse across the batch
+                ((B*P, K)-shaped operands), and only the prefix-sum
+                compositing chain stays serial.  ET masking joins at the
+                serial chain exactly as in the forward: a dead step's
+                recomputed density may land in a different TF bin than
+                the step-serial kernel's (which zeroes t), but every one
+                of its gradient contributions carries an exact zero
+                weight either way."""
                 tr, p, dming_v, dmaxg_v = carry
-                kf = k.astype(jnp.float32)
-                tstep = kf * dt
-                # identical float ops to the forward kernel
-                pc = p0c + tstep * dc
-                pb = p0b + tstep * db
-                pa = p0a + tstep * da
-                inside = ((pc >= 0.0) & (pc <= 1.0)
-                          & (pb >= 0.0) & (pb <= 1.0)
-                          & (pa >= 0.0) & (pa <= 1.0))
-                sliced = ((pc < smaxc) & (pc > sminc)
-                          & (pb < smaxb) & (pb > sminb)
-                          & (pa < smaxa) & (pa > smina))
-                fc = pc * nc_f - 0.5
-                fb = pb * nb_f - 0.5
-                fa = pa * na - 0.5
-                cc = jnp.floor(fc)
-                cb = jnp.floor(fb)
-                ca = jnp.floor(fa)
-                wc = fc - cc
-                wb = fb - cb
-                wa = fa - ca
-                cc = cc.astype(jnp.int32)
-                cb = cb.astype(jnp.int32)
-                ca = ca.astype(jnp.int32)
+                k0 = k_lo + j * BATCH
+                k0f = k0.astype(jnp.float32)
+                kBf = k0f + float(BATCH - 1)
 
-                owned = ((ca.astype(jnp.float32) >= lo_own)
-                         & (ca.astype(jnp.float32) < hi_own))
-                active = inside & sliced & owned
-                active = active & ((tr > eps_t) | jnp.logical_not(et_on))
+                def span(slot_min, slot_max, lo_clip, hi_clip):
+                    d_min = tmeta[0, 0, slot_min + 2]
+                    d_max = tmeta[0, 0, slot_max + 2]
+                    lb = tmeta[0, 0, slot_min] + jnp.minimum(
+                        k0f * d_min, kBf * d_min)
+                    ub = tmeta[0, 0, slot_max] + jnp.maximum(
+                        k0f * d_max, kBf * d_max)
+                    return (jnp.maximum(lb, lo_clip),
+                            jnp.minimum(ub, hi_clip))
 
-                fb_lb = jnp.maximum(
-                    tmeta[0, 0, _T_FB0_MIN] + kf * tmeta[0, 0, _T_DFB_MIN],
-                    -1.0)
-                fb_ub = jnp.minimum(
-                    tmeta[0, 0, _T_FB0_MAX] + kf * tmeta[0, 0, _T_DFB_MAX],
-                    nb_f)
-                fa_lb = jnp.maximum(
-                    tmeta[0, 0, _T_FA0_MIN] + kf * tmeta[0, 0, _T_DFA_MIN],
-                    lo_own)
-                fa_ub = jnp.minimum(
-                    tmeta[0, 0, _T_FA0_MAX] + kf * tmeta[0, 0, _T_DFA_MAX],
-                    hi_own)
-
-                fc_lb = jnp.maximum(
-                    tmeta[0, 0, _T_FC0_MIN] + kf * tmeta[0, 0, _T_DFC_MIN],
-                    -1.0)
-                fc_ub = jnp.minimum(
-                    tmeta[0, 0, _T_FC0_MAX] + kf * tmeta[0, 0, _T_DFC_MAX],
-                    nc_f)
+                fa_lb, fa_ub = span(_T_FA0_MIN, _T_FA0_MAX, lo_own, hi_own)
+                fb_lb, fb_ub = span(_T_FB0_MIN, _T_FB0_MAX, -1.0, nb_f)
+                fc_lb, fc_ub = span(_T_FC0_MIN, _T_FC0_MAX, -1.0, nc_f)
 
                 b_lo = jnp.floor(fb_lb).astype(jnp.int32)
                 b_hi = jnp.floor(fb_ub).astype(jnp.int32) + 1  # +1 corner
@@ -974,51 +980,98 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                     jnp.floor(fa_ub).astype(jnp.int32) + 1 - abase_i,
                     0, rows - 1)
 
-                la = ca - abase_i
+                # per-sub-step geometry (identical float ops to the
+                # forward kernel)
+                subs = []
+                for bb in range(BATCH):
+                    kf = k0f + float(bb)
+                    tstep = kf * dt
+                    pc = p0c + tstep * dc
+                    pb = p0b + tstep * db
+                    pa = p0a + tstep * da
+                    inside = ((pc >= 0.0) & (pc <= 1.0)
+                              & (pb >= 0.0) & (pb <= 1.0)
+                              & (pa >= 0.0) & (pa <= 1.0))
+                    sliced = ((pc < smaxc) & (pc > sminc)
+                              & (pb < smaxb) & (pb > sminb)
+                              & (pa < smaxa) & (pa > smina))
+                    fcc = pc * nc_f - 0.5
+                    fbb = pb * nb_f - 0.5
+                    faa = pa * na - 0.5
+                    cc = jnp.floor(fcc)
+                    cb = jnp.floor(fbb)
+                    ca = jnp.floor(faa)
+                    wc = fcc - cc
+                    wb = fbb - cb
+                    wa = faa - ca
+                    cc = cc.astype(jnp.int32)
+                    cb = cb.astype(jnp.int32)
+                    ca = ca.astype(jnp.int32)
+                    owned = ((ca.astype(jnp.float32) >= lo_own)
+                             & (ca.astype(jnp.float32) < hi_own))
+                    act_s = (inside & sliced & owned
+                             & ((k0 + bb) < k_hi))
+                    subs.append(dict(cc=cc, cb=cb, ca=ca, wc=wc, wb=wb,
+                                     wa=wa, act=act_s))
 
-                def wz_row(z0, rr):
-                    return jnp.where(la == z0 + rr, 1.0 - wa,
-                                     jnp.where(la + 1 == z0 + rr, wa, 0.0))
+                def wz_row(sub, z0, rr):
+                    la = sub["ca"] - abase_i
+                    return jnp.where(la == z0 + rr, 1.0 - sub["wa"],
+                                     jnp.where(la + 1 == z0 + rr,
+                                               sub["wa"], 0.0))
 
                 def level_windows(yw, cw):
                     y0 = ((jnp.clip(b_lo, 0, nb - yw)) // 8) * 8
                     y0 = pl.multiple_of(y0, 8)
                     if cw >= nc:
-                        c0, lc = None, cc
+                        c0 = None
                     else:
                         c0 = (jnp.clip(c_lo, 0, nc - cw) // 128) * 128
                         c0 = pl.multiple_of(c0, 128)
-                        lc = cc - c0
-                    return y0, c0, lc
+                    return y0, c0
 
                 def sample_level(zw, yw, cw):
+                    """Recomputed densities for all BATCH sub-steps."""
                     z0 = jnp.clip(a_lo, 0, rows - zw)
                     if yw >= nb and cw >= nc:
-                        wyt = _tent_lanes(cb, wb, nb)
-                        v1 = jnp.zeros((P, nc), jnp.float32)
+                        wyts = [_tent_lanes(s["cb"], s["wb"], nb)
+                                for s in subs]
+                        v1 = jnp.zeros((BATCH * P, nc), jnp.float32)
                         for rr in range(zw):
-                            a_mat = wyt * wz_row(z0, rr)[:, None]
+                            a_mat = jnp.concatenate(
+                                [w * wz_row(s, z0, rr)[:, None]
+                                 for s, w in zip(subs, wyts)], axis=0)
                             v1 = v1 + _pdot(a_mat, slab[0, z0 + rr, :, :],
                                             density_precision)
-                        wxt = _tent_lanes(cc, wc, nc)
-                        return jnp.sum(v1 * wxt, axis=1)
-                    y0, c0, lc = level_windows(yw, cw)
-                    wyt = _tent_lanes(cb - y0, wb, yw)
-                    a_parts = []
-                    b_parts = []
-                    for rr in range(zw):
-                        a_parts.append(wyt * wz_row(z0, rr)[:, None])
+                        return [jnp.sum(v1[bb * P:(bb + 1) * P]
+                                        * _tent_lanes(s["cc"], s["wc"], nc),
+                                        axis=1)
+                                for bb, s in enumerate(subs)]
+                    y0, c0 = level_windows(yw, cw)
+
+                    def b_win(rr):
                         if cw >= nc:
-                            b_parts.append(slab[0, z0 + rr,
-                                                pl.ds(y0, yw), :])
-                        else:
-                            b_parts.append(slab[0, z0 + rr, pl.ds(y0, yw),
-                                                pl.ds(c0, cw)])
-                    v1 = _pdot(jnp.concatenate(a_parts, axis=1),
-                               jnp.concatenate(b_parts, axis=0),
-                               density_precision)
-                    wxt = _tent_lanes(lc, wc, cw)
-                    return jnp.sum(v1 * wxt, axis=1)
+                            return slab[0, z0 + rr, pl.ds(y0, yw), :]
+                        return slab[0, z0 + rr, pl.ds(y0, yw),
+                                    pl.ds(c0, cw)]
+
+                    a_rows = []
+                    for s in subs:
+                        wyt = _tent_lanes(s["cb"] - y0, s["wb"], yw)
+                        a_rows.append(jnp.concatenate(
+                            [wyt * wz_row(s, z0, rr)[:, None]
+                             for rr in range(zw)], axis=1))
+                    v1 = _pdot(
+                        jnp.concatenate(a_rows, axis=0),
+                        jnp.concatenate([b_win(rr) for rr in range(zw)],
+                                        axis=0), density_precision)
+                    outs = []
+                    for bb, s in enumerate(subs):
+                        lc = s["cc"] if c0 is None else s["cc"] - c0
+                        wxt = _tent_lanes(lc, s["wc"], cw)
+                        outs.append(jnp.sum(v1[bb * P:(bb + 1) * P] * wxt,
+                                            axis=1))
+                    return outs
 
                 def fits(zw, yw, cw):
                     ok = (a_hi - jnp.clip(a_lo, 0, rows - zw)) <= zw - 1
@@ -1032,85 +1085,126 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
 
                 if len(levels) == 1:
                     lvl = jnp.int32(0)
-                    density = sample_level(*levels[0])
+                    densities = sample_level(*levels[0])
                 else:
                     lvl = jnp.int32(len(levels) - 1)
                     for i in range(len(levels) - 2, -1, -1):
                         lvl = jnp.where(fits(*levels[i]), jnp.int32(i), lvl)
-                    density = jax.lax.switch(
+                    densities = jax.lax.switch(
                         lvl, [functools.partial(sample_level, zw, yw, cw)
                               for (zw, yw, cw) in levels])
 
-                # TF lookup (same float ops as forward, transposed matmul)
-                t = (density - dmin) * inv_w
-                t = jnp.where(active, t, 0.0)  # NaN-voxel containment
-                x = t * float(ntf) - 0.5
-                i0t = jnp.floor(x)
-                wt = x - i0t
-                lo = jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1)
-                hi = jnp.clip(i0t.astype(jnp.int32) + 1, 0, ntf - 1)
-                wtf_t = _tf_weights_t(x, ntf)
-                rgba_t = _pdot(tft[:, :], wtf_t, density_precision)
-                a_raw = rgba_t[3, :]
-                clamped = a_raw > amax
-                a = jnp.where(active, jnp.minimum(a_raw, amax), 0.0)
+                # TF lookup weights + bins for the whole batch
+                ts, los, his, wtfs = [], [], [], []
+                for s, density in zip(subs, densities):
+                    t = (density - dmin) * inv_w
+                    t = jnp.where(s["act"], t, 0.0)  # NaN containment
+                    x = t * float(ntf) - 0.5
+                    i0t = jnp.floor(x)
+                    ts.append(t)
+                    los.append(jnp.clip(i0t.astype(jnp.int32), 0, ntf - 1))
+                    his.append(jnp.clip(i0t.astype(jnp.int32) + 1, 0,
+                                        ntf - 1))
+                    wtfs.append(_tf_weights_t(x, ntf))
+                wtf_cat = jnp.concatenate(wtfs, axis=1)      # (ntf, B*P)
+                rgba_cat = _pdot(tft[:, :], wtf_cat, density_precision)
 
-                # prefix-sum cotangents (core.fused.march_bwd, same order)
-                gc_dot_c = (g_r * rgba_t[0, :] + g_g * rgba_t[1, :]
-                            + g_b * rgba_t[2, :])
-                ta = tr * a
-                p_k = ta * gc_dot_c
-                p_new = p + p_k
-                s_k = big_g - p_new
-                one_minus_a = jnp.maximum(1.0 - a, ALPHA_EPS)
-                dL_da = tr * gc_dot_c + (g_a * tr_fin - s_k) / one_minus_a
-                dL_da = jnp.where(active & jnp.logical_not(clamped),
-                                  dL_da, 0.0)
-                act = jnp.where(active, 1.0, 0.0)
-                # (8, P) cotangent built row-by-row with lane broadcasts
+                # serial prefix-sum cotangent chain (core.fused.march_bwd
+                # float ops in the same order)
+                g_rows = []
+                for bb, s in enumerate(subs):
+                    rgba = rgba_cat[:, bb * P:(bb + 1) * P]
+                    a_raw = rgba[3, :]
+                    clamped = a_raw > amax
+                    active = s["act"] & ((tr > eps_t)
+                                         | jnp.logical_not(et_on))
+                    a = jnp.where(active, jnp.minimum(a_raw, amax), 0.0)
+                    gc_dot_c = (g_r * rgba[0, :] + g_g * rgba[1, :]
+                                + g_b * rgba[2, :])
+                    ta = tr * a
+                    p_k = ta * gc_dot_c
+                    p = p + p_k
+                    s_k = big_g - p
+                    one_minus_a = jnp.maximum(1.0 - a, ALPHA_EPS)
+                    dL_da = (tr * gc_dot_c
+                             + (g_a * tr_fin - s_k) / one_minus_a)
+                    dL_da = jnp.where(active & jnp.logical_not(clamped),
+                                      dL_da, 0.0)
+                    act = jnp.where(active, 1.0, 0.0)
+                    g_rows.append((ta * g_r * act, ta * g_g * act,
+                                   ta * g_b * act, dL_da))
+                    tr = tr * (1.0 - a)
+
+                # (8, B*P) cotangent built row-by-row with lane broadcasts
                 # (jnp.stack of (P,) pieces is a lanes->sublanes transpose
                 # Mosaic cannot lay out)
-                rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
-                g8_t = (
-                    jnp.where(rows8 == 0, (ta * g_r * act)[None, :], 0.0)
-                    + jnp.where(rows8 == 1, (ta * g_g * act)[None, :], 0.0)
-                    + jnp.where(rows8 == 2, (ta * g_b * act)[None, :], 0.0)
-                    + jnp.where(rows8 == 3, dL_da[None, :], 0.0))
+                BP = BATCH * P
+                rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, BP), 0)
+                gr_cat = jnp.concatenate([gr[0] for gr in g_rows])
+                gg_cat = jnp.concatenate([gr[1] for gr in g_rows])
+                gb_cat = jnp.concatenate([gr[2] for gr in g_rows])
+                da_cat = jnp.concatenate([gr[3] for gr in g_rows])
+                g8_cat = (
+                    jnp.where(rows8 == 0, gr_cat[None, :], 0.0)
+                    + jnp.where(rows8 == 1, gg_cat[None, :], 0.0)
+                    + jnp.where(rows8 == 2, gb_cat[None, :], 0.0)
+                    + jnp.where(rows8 == 3, da_cat[None, :], 0.0))
 
-                # TF-table gradient (transposed accumulator, (8, ntf)):
-                # contract over rays without materializing any transpose
+                # TF-table gradient: ONE ray-contracted matmul per batch
                 tfg[:, :] += _pdotg(
-                    g8_t, wtf_t, (((1,), (1,)), ((), ())), precision)
+                    g8_cat, wtf_cat, (((1,), (1,)), ((), ())), precision)
 
                 # density cotangent via d rgba / dt = (tf[hi]-tf[lo]) * ntf
-                trows = jax.lax.broadcasted_iota(jnp.int32, (ntf, P), 0)
-                dwtf_t = (jnp.where(trows == hi[None, :], 1.0, 0.0)
-                          - jnp.where(trows == lo[None, :], 1.0, 0.0)
-                          ) * float(ntf)
-                drgba_t = _pdot(tft[:, :], dwtf_t, precision)
-                dL_dt = jnp.sum(g8_t * drgba_t, axis=0)
-                dd = dL_dt * inv_w
-                dming_v = dming_v + dL_dt * (t - 1.0) * inv_w
-                dmaxg_v = dmaxg_v + dL_dt * (-t) * inv_w
+                trows = jax.lax.broadcasted_iota(jnp.int32, (ntf, BP), 0)
+                lo_cat = jnp.concatenate(los)
+                hi_cat = jnp.concatenate(his)
+                dwtf_cat = (jnp.where(trows == hi_cat[None, :], 1.0, 0.0)
+                            - jnp.where(trows == lo_cat[None, :], 1.0, 0.0)
+                            ) * float(ntf)
+                drgba_cat = _pdot(tft[:, :], dwtf_cat, precision)
+                dL_dt = jnp.sum(g8_cat * drgba_cat, axis=0)
+                dd_cat = dL_dt * inv_w
+                for bb, t in enumerate(ts):
+                    sl = dL_dt[bb * P:(bb + 1) * P]
+                    dming_v = dming_v + sl * (t - 1.0) * inv_w
+                    dmaxg_v = dmaxg_v + sl * (-t) * inv_w
 
                 # voxel-grid gradient: transpose of the tent matmuls,
+                # batch-fused (accumulation over sub-steps IS the
+                # contraction over the concatenated B*P ray axis),
                 # accumulated into the VMEM-resident gradient slab block
                 def scatter_level(zw, yw, cw):
                     z0 = jnp.clip(a_lo, 0, rows - zw)
                     if yw >= nb and cw >= nc:
-                        wyt = _tent_lanes(cb, wb, nb)
-                        ddwxt = dd[:, None] * _tent_lanes(cc, wc, nc)
+                        ddwxt = jnp.concatenate(
+                            [dd_cat[bb * P:(bb + 1) * P][:, None]
+                             * _tent_lanes(s["cc"], s["wc"], nc)
+                             for bb, s in enumerate(subs)], axis=0)
+                        wyts = [_tent_lanes(s["cb"], s["wb"], nb)
+                                for s in subs]
                         for rr in range(zw):
-                            a_mat = wyt * wz_row(z0, rr)[:, None]
-                            m = _pdotg(a_mat, ddwxt, (((0,), (0,)), ((), ())), precision)
+                            a_cat = jnp.concatenate(
+                                [w * wz_row(s, z0, rr)[:, None]
+                                 for s, w in zip(subs, wyts)], axis=0)
+                            m = _pdotg(a_cat, ddwxt,
+                                       (((0,), (0,)), ((), ())), precision)
                             volg[0, z0 + rr, :, :] += m
                         return jnp.int32(0)
-                    y0, c0, lc = level_windows(yw, cw)
-                    wyt = _tent_lanes(cb - y0, wb, yw)
-                    ddwxt = dd[:, None] * _tent_lanes(lc, wc, cw)
-                    a_parts = [wyt * wz_row(z0, rr)[:, None]
-                               for rr in range(zw)]
-                    m_big = _pdotg(jnp.concatenate(a_parts, axis=1), ddwxt, (((0,), (0,)), ((), ())), precision)
+                    y0, c0 = level_windows(yw, cw)
+                    ddwxt = jnp.concatenate(
+                        [dd_cat[bb * P:(bb + 1) * P][:, None]
+                         * _tent_lanes(
+                             s["cc"] if c0 is None else s["cc"] - c0,
+                             s["wc"], cw)
+                         for bb, s in enumerate(subs)], axis=0)
+                    a_rows = []
+                    for s in subs:
+                        wyt = _tent_lanes(s["cb"] - y0, s["wb"], yw)
+                        a_rows.append(jnp.concatenate(
+                            [wyt * wz_row(s, z0, rr)[:, None]
+                             for rr in range(zw)], axis=1))
+                    m_big = _pdotg(jnp.concatenate(a_rows, axis=0), ddwxt,
+                                   (((0,), (0,)), ((), ())), precision)
                     for rr in range(zw):
                         m = m_big[rr * yw:(rr + 1) * yw, :]
                         if cw >= nc:
@@ -1127,16 +1221,33 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                         lvl, [functools.partial(scatter_level, zw, yw, cw)
                               for (zw, yw, cw) in levels])
 
-                tr = tr * (1.0 - a)
-                return tr, p_new, dming_v, dmaxg_v
+                return tr, p, dming_v, dmaxg_v
 
             # rows 2/3 of the state are always zero and pass through
-            # unchanged — loading them (rather than a jnp.zeros splat)
+            # unchanged -- loading them (rather than a jnp.zeros splat)
             # gives the accumulators a concrete, body-compatible layout
-            carry = (state[0, 0, :], state[0, 1, :],
+            carry = (jnp.int32(0), state[0, 0, :], state[0, 1, :],
                      state[0, 2, :], state[0, 3, :])
-            tr, p, dming_v, dmaxg_v = jax.lax.fori_loop(k_lo, k_hi, step,
-                                                        carry)
+            n_iter = (k_hi - k_lo + BATCH - 1) // BATCH
+
+            # in-slab early termination, mirroring the forward kernel:
+            # once every hit ray's transmittance is dead, every remaining
+            # step's gradient contribution is exactly zero, so the k-loop
+            # exits instead of marching masked steps
+            def loop_cond(c):
+                j, tr = c[0], c[1]
+                live = jnp.max(jnp.where(hit, tr, 0.0))
+                return (j < n_iter) & (jnp.logical_not(et_on)
+                                       | (live > eps_t))
+
+            def loop_body(c):
+                j = c[0]
+                tr, p, dming_v, dmaxg_v = step_batch_body(
+                    j, (c[1], c[2], c[3], c[4]))
+                return (j + 1, tr, p, dming_v, dmaxg_v)
+
+            _, tr, p, dming_v, dmaxg_v = jax.lax.while_loop(
+                loop_cond, loop_body, carry)
             state_out[0, 0, :] = tr
             state_out[0, 1, :] = p
             for i in range(2, 8):
@@ -1163,7 +1274,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
                   axis: int = 0, reverse: bool = False,
                   mode: str = "exact", interpret: bool = False,
                   vary_axes: tuple = (), a_body: int = None,
-                  na_total: int = None):
+                  na_total: int = None, step_batch: int = 0):
     """Build the Pallas backward for a static configuration.
 
     Returns ``bwd(vol, tf, origin, dirs, dmin, dmax, smin, smax, out, g)
@@ -1195,7 +1306,8 @@ def make_slab_bwd(num_steps: int, step_size: float,
                          else jax.lax.Precision.DEFAULT)
     kernel = _make_bwd_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
                               levels=levels, precision=precision,
-                              density_precision=density_precision)
+                              density_precision=density_precision,
+                              step_batch=step_batch or _BWD_STEP_BATCH)
 
     def index_slab(s, t):
         return ((n_slab - 1 - s) if reverse else s, 0, 0, 0)
@@ -1430,7 +1542,8 @@ def make_slab_marcher(num_steps: int, step_size: float,
                       mode: str = "exact", interpret: bool = False,
                       vary_axes: tuple = (), bwd: str = "slab",
                       bwd_mode: str = "high", a_body: int = None,
-                      na_total: int = None, vol_vary_axes: tuple = None):
+                      na_total: int = None, vol_vary_axes: tuple = None,
+                      step_batch: int = 0, bwd_step_batch: int = 0):
     """Slab kernel with the standard marcher signature and a custom VJP.
 
     ``f(vol, tf, origin, dirs, dmin, dmax, smin, smax) -> rgba`` — the
@@ -1452,7 +1565,7 @@ def make_slab_marcher(num_steps: int, step_size: float,
                               width, axis=axis, reverse=reverse,
                               mode=mode, interpret=interpret,
                               vary_axes=vary_axes, a_body=a_body,
-                              na_total=na_total)
+                              na_total=na_total, step_batch=step_batch)
     if vol_vary_axes is None:
         vol_vary_axes = vary_axes
     chunked = na_total is not None
@@ -1491,7 +1604,8 @@ def make_slab_marcher(num_steps: int, step_size: float,
                                termination_eps, vol_shape, ntf, height,
                                width, axis=axis, reverse=reverse,
                                mode=bwd_mode, interpret=interpret,
-                               a_body=a_body, na_total=na_total)
+                               a_body=a_body, na_total=na_total,
+                               step_batch=bwd_step_batch)
 
         def march_bwd(res, g):
             (vol, tf, origin, dirs, dmin, dmax, smin, smax, a_start,

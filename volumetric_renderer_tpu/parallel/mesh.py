@@ -25,6 +25,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 TILE_AXIS = "tiles"
 HOST_AXIS = "hosts"
 
+# Pixel-to-device layouts understood by make_layout (CLI surfaces derive
+# their choices from this so new layouts appear everywhere at once).
+LAYOUTS = ("contiguous", "cyclic", "tile-cyclic", "tile-shuffle")
+
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               shape: Optional[Tuple[int, ...]] = None,

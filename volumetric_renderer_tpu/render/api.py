@@ -93,7 +93,7 @@ def render(
     slice_min=None,
     slice_max=None,
     method: str = "auto",
-    slab_mode: str = "exact",
+    slab_mode: str = "fast",
     interpret: bool = False,
     tf_srgb: bool = False,
 ) -> jnp.ndarray:
@@ -103,6 +103,15 @@ def render(
     ``(N, 4)`` RGBA transfer function (see ``transfer``).  RGB is the
     front-to-back accumulation, alpha is opacity; composite over a
     background with :func:`composite_over`.
+
+    ``slab_mode`` (slab/pallas/auto-on-TPU only) sets the kernel's matmul
+    precision.  The default ``"fast"`` (single-pass bf16) errs ~5e-4 vs
+    the f32 oracle — under half an 8-bit display quantum (1/255), i.e.
+    invisible in any displayed image — and is ~3x faster on hardware than
+    ``"exact"`` (bf16x6, reproduces f32 to ~1e-6).  Use ``"exact"`` for
+    numerical parity work; gradients are unaffected (the backward's
+    density recompute is exact-pinned in every bwd mode but "fast",
+    ``kernels/slab.py``).
 
     ``tf_srgb=True`` treats the TF table's RGB as sRGB-encoded and decodes
     it before lookup — byte-for-byte the reference's ``R8G8B8A8_SRGB`` TF

@@ -123,6 +123,53 @@ class Gradient:
         del markers[index]
         return True
 
+    def move_color_marker(self, index: int, location: float) -> int:
+        return self._move(self.color_markers, index, location)
+
+    def move_alpha_marker(self, index: int, location: float) -> int:
+        return self._move(self.alpha_markers, index, location)
+
+    @staticmethod
+    def _move(markers, index: int, location: float) -> int:
+        """Drag a marker to ``location``; returns its index afterwards.
+
+        Mirrors the editor's drag semantics (``gradient.cpp:565-592``):
+        endpoints cannot be dragged (``state.dragging`` is only armed for
+        interior markers, ``gradient.cpp:568-569`` — a no-op here), the
+        location clamps to [0, 1] (``gradient.cpp:656``), and the moved
+        marker shuffles through its neighbors to restore sort order while
+        staying interior (shuffle-down stops at index 1, shuffle-up at
+        ``len-2``, ``gradient.cpp:577-592``) — so a marker dragged past an
+        endpoint parks right next to it rather than displacing it.
+        """
+        if index <= 0 or index >= len(markers) - 1:
+            return index  # endpoints are locked
+        location = min(max(float(location), 0.0), 1.0)
+        moved = (location, markers[index][1])
+        markers[index] = moved
+        # shuffle down (never below 1)
+        while index > 1 and moved[0] < markers[index - 1][0]:
+            markers[index] = markers[index - 1]
+            index -= 1
+        # shuffle up (never above len-2)
+        while index < len(markers) - 2 and moved[0] > markers[index + 1][0]:
+            markers[index] = markers[index + 1]
+            index += 1
+        markers[index] = moved
+        return index
+
+    def set_color_marker(self, index: int, value: Sequence[float]) -> None:
+        """Re-color a marker in place (any marker, endpoints included —
+        the editor's color picker applies to the selection regardless of
+        position, ``gradient.cpp:347-431``; only drag/delete are locked)."""
+        loc = self.color_markers[index][0]
+        self.color_markers[index] = (loc, np.asarray(value, np.float32))
+
+    def set_alpha_marker(self, index: int, value: float) -> None:
+        """Re-alpha a marker in place (see :meth:`set_color_marker`)."""
+        loc = self.alpha_markers[index][0]
+        self.alpha_markers[index] = (loc, float(value))
+
     # -- presets -----------------------------------------------------------
     @classmethod
     def grayscale_ramp(cls) -> "Gradient":
