@@ -93,6 +93,7 @@ def test_turntable_gif(tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_optimize_invert_smoke(tmp_path):
     from volumetric_renderer_tpu.apps.optimize import main
     ck = str(tmp_path / "ck")
@@ -108,6 +109,7 @@ def test_optimize_invert_smoke(tmp_path):
           "--resume", "--out", out])
 
 
+@pytest.mark.slow
 def test_optimize_tf_fit_smoke(tmp_path):
     from volumetric_renderer_tpu.apps.optimize import main
     out = str(tmp_path / "tf.npy")
@@ -125,6 +127,7 @@ def test_benchmark_harness(capsys):
     assert data["scaling"][-1]["efficiency"] > 0
 
 
+@pytest.mark.slow
 def test_optimize_slab_method_smoke(tmp_path):
     """Config-4 loop through the production kernel (interpret on CPU)."""
     from volumetric_renderer_tpu.apps.optimize import main
@@ -132,6 +135,18 @@ def test_optimize_slab_method_smoke(tmp_path):
     main(["invert", "--grid", "8", "--size", "24x24", "--march-steps", "12",
           "--views", "2", "--steps-opt", "3", "--tf-resolution", "32",
           "--method", "slab", "--out", out])
+    assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_optimize_depth_parallel_smoke(tmp_path):
+    """Grid inversion with the grid + moments depth-sharded over the
+    8-device mesh (the >=1024^3 growth path, exercised end-to-end)."""
+    from volumetric_renderer_tpu.apps.optimize import main
+    out = str(tmp_path / "vol.npy")
+    main(["invert", "--grid", "16", "--size", "24x24", "--march-steps",
+          "12", "--views", "2", "--steps-opt", "3", "--tf-resolution",
+          "32", "--parallel", "depth", "--out", out])
     assert os.path.exists(out)
 
 

@@ -36,6 +36,7 @@ def test_blocked_matches_fused(early, block_rows):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_blocked_under_jit_and_grad():
     vol, tf, origin, dirs, args = scene()
     blocked = make_blocked_marcher(NUM_STEPS, STEP, False, 1.0 / 255.0,

@@ -62,6 +62,7 @@ def test_over_operator_associative():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_chunks", [2, 4])
 def test_chunked_marcher_composes_to_full_render(n_chunks):
     """K chunk partials folded in march order == the whole-volume render;
@@ -112,6 +113,7 @@ def test_chunked_marcher_composes_to_full_render(n_chunks):
                                    atol=2e-4 * np.abs(want_g).max())
 
 
+@pytest.mark.slow
 def test_depth_sharded_renderer_matches_unsharded():
     """Grid sharded over an 8-device depth mesh: forward + gradient parity
     (vol grads flow through the sharded chunks + ppermute halo; TF grads
@@ -151,6 +153,87 @@ def test_depth_sharded_renderer_matches_unsharded():
                                    atol=5e-4 * np.abs(want_g).max())
 
 
+@pytest.mark.slow
+def test_depth_sharded_train_step():
+    """Grid inversion with the grid + Adam moments sharded over depth
+    (the 1024^3 growth path, executable): params/moments stay physically
+    depth-sharded across steps, gradients match an unsharded reference
+    (checked through one SGD step), and the loss decreases."""
+    import optax
+
+    from volumetric_renderer_tpu.parallel.depth import depth_vol_spec
+    from volumetric_renderer_tpu.parallel.train import (
+        init_depth_state, make_depth_train_step, slab_axes_for_cameras,
+    )
+
+    mesh = make_mesh(jax.devices()[:8], shape=(8,), axis_names=("depth",))
+    vol_gt, tf, _, args4 = scene()
+    # two opposing views: same dominant axis, both march directions
+    cams = [OrbitCamera.from_angles(yaw_deg=33.0, pitch_deg=21.0),
+            OrbitCamera.from_angles(yaw_deg=213.0, pitch_deg=21.0)]
+    codes, pairs = slab_axes_for_cameras(cams)
+    assert len({a for a, _ in pairs}) == 1
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    targets = jnp.stack([reference(vol_gt, tf, c, args4)[0] for c in cams])
+    fixed = dict(vol=vol_gt, tf=tf, dmin=args4[0], dmax=args4[1],
+                 smin=args4[2], smax=args4[3], axis_codes=codes)
+    vol0 = jnp.full(vol_gt.shape, 0.3, jnp.float32)
+
+    # 1. gradient parity through one SGD step: delta == -lr * grad
+    lr = 1.0
+    sgd = optax.sgd(lr)
+    step_fn = make_depth_train_step(
+        mesh, SETTINGS, sgd, optimize_vol=True, optimize_tf=False,
+        vol_shape=vol_gt.shape, slab_axes=pairs, interpret=True)
+    state = init_depth_state(sgd, {"vol": vol0}, mesh, pairs[0][0])
+    state1, loss0 = step_fn(state, fixed, cameras, targets)
+    got_g = (vol0 - state1.params["vol"]) / lr
+
+    def ref_loss(v):
+        views = [reference(v, tf, c, args4)[0] for c in cams]
+        return sum(jnp.mean((img - t) ** 2)
+                   for img, t in zip(views, targets)) / len(cams)
+
+    want_g = jax.grad(ref_loss)(vol0)
+    got_g, want_g = np.asarray(got_g), np.asarray(want_g)
+    np.testing.assert_allclose(got_g, want_g, rtol=0,
+                               atol=5e-4 * np.abs(want_g).max())
+
+    # 2. Adam: loss decreases and everything stays depth-sharded
+    adam = optax.adam(5e-2)
+    step_fn = make_depth_train_step(
+        mesh, SETTINGS, adam, optimize_vol=True, optimize_tf=False,
+        vol_shape=vol_gt.shape, slab_axes=pairs, interpret=True)
+    state = init_depth_state(adam, {"vol": vol0}, mesh, pairs[0][0])
+    vspec = depth_vol_spec(pairs[0][0])
+    assert state.params["vol"].sharding.spec == vspec
+    mu = state.opt_state[0].mu["vol"]
+    assert mu.sharding.spec == vspec, "Adam moments must shard with the grid"
+
+    losses = []
+    for _ in range(5):
+        state, loss = step_fn(state, fixed, cameras, targets)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert state.params["vol"].sharding.spec == vspec
+    assert state.opt_state[0].mu["vol"].sharding.spec == vspec
+
+
+def test_depth_train_step_rejects_mixed_axes():
+    import optax
+
+    from volumetric_renderer_tpu.parallel.train import make_depth_train_step
+
+    mesh = make_mesh(jax.devices()[:8], shape=(8,), axis_names=("depth",))
+    with pytest.raises(ValueError, match="ONE slab axis"):
+        make_depth_train_step(
+            mesh, SETTINGS, optax.adam(1e-2), optimize_vol=True,
+            optimize_tf=False, vol_shape=(16, 16, 16),
+            slab_axes=((0, False), (1, False)), interpret=True)
+
+
+@pytest.mark.slow
 def test_depth_sharded_hlo_collectives():
     """The depth forward's communication budget: the one halo ppermute +
     the partial-image all_gather — and nothing else; the backward adds

@@ -53,6 +53,7 @@ def test_fused_forward_matches_oracle(early):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_grads_match_autodiff():
     vol, tf, origin, dirs, args = small_scene()
     fused = make_fused_marcher(NUM_STEPS, STEP, False, 1.0 / 255.0)
@@ -83,6 +84,7 @@ def test_fused_grads_match_autodiff():
                                    err_msg=f"grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_fused_grad_finite_difference():
     vol, tf, origin, dirs, args = small_scene(n=6, h=6, w=8, tf_n=16)
     fused = make_fused_marcher(24, 0.07, False, 1.0 / 255.0)
@@ -107,6 +109,7 @@ def test_fused_grad_finite_difference():
             f"voxel ({z},{y},{x}): fd={fd} grad={g[z, y, x]}")
 
 
+@pytest.mark.slow
 def test_render_api_fused_matches_oracle_with_grad():
     """BASELINE criterion: pixel-gradient max-err < 1e-4 between methods."""
     vol = Volume.synthetic_sphere(10).as_jax()

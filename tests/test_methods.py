@@ -28,6 +28,7 @@ def test_method_matches_oracle(scene, method):
     np.testing.assert_allclose(got, oracle, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["slab", "pallas"])
 def test_slab_matches_oracle(scene, method):
     # interpreter mode on CPU; compiled parity is checked on TPU by bench

@@ -9,6 +9,9 @@ the unsharded fused path on the same inputs.  Runs on 8 virtual CPU
 devices (conftest sets ``xla_force_host_platform_device_count``).
 """
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -173,6 +176,7 @@ def test_sharded_slab_forward_matches_unsharded(layout):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_slab_grads_match_unsharded():
     """Grid/TF gradients through the Pallas slab backward + the vary_axes
     psum (kernels/slab.py) == unsharded fused grads."""
@@ -198,6 +202,7 @@ def test_sharded_slab_grads_match_unsharded():
                                    atol=2e-4 * np.abs(u).max())
 
 
+@pytest.mark.slow
 def test_sharded_slab_hlo_audit():
     """Config-5 invariant on the PRODUCTION path: slab forward compiles to
     zero collectives (cyclic layout with shard-order output — the training
@@ -273,6 +278,7 @@ def test_cyclic_row_layout_properties():
                 blocks[:, 0] // 16, np.arange(d, hp // 16, n))
 
 
+@pytest.mark.slow
 def test_train_step_slab_method_decreases_loss():
     """Config 3/4 through the PRODUCTION kernel: sharded slab fwd + Pallas
     slab bwd + per-view orientation switch + cyclic layout."""
@@ -346,6 +352,50 @@ def test_init_distributed_single_process_noop():
     assert jax.process_count() >= 1
 
 
+def test_two_process_cluster_psum():
+    """REAL multi-process JAX: spawn a 2-process gloo cluster (2 virtual
+    CPU devices each), build pod_mesh over the 4 global devices, and psum
+    across the process (DCN) boundary — the collective multi-host grid/TF
+    gradient reduction rides.  Subprocess-based: jax.distributed can only
+    initialize once per process."""
+    import json
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "distributed_worker.py")
+    env = dict(os.environ, PYTHONPATH=root)
+    # workers set their own platform/device-count env before importing jax
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, worker, coord, "2", str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         env=env, text=True)
+        for i in range(2)
+    ]
+    results = {}
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        assert p.returncode == 0, f"worker {i} failed:\n{err[-2000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        results[i] = json.loads(line)
+    # both processes saw the full cross-process reduction: 1+2+3+4
+    assert results[0]["psum"] == results[1]["psum"] == 10.0
+    # and the host row partition tiles the image
+    assert results[0]["rows"] == [0, 32] and results[1]["rows"] == [32, 64]
+
+
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     """Toy grid inversion (BASELINE config 4 shape): loss drops."""
     mesh = make_mesh(jax.devices()[:8])

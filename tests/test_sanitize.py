@@ -34,6 +34,7 @@ def scene():
     return vol, tf, cam
 
 
+@pytest.mark.slow
 def test_checked_render_clean(scene):
     vol, tf, cam = scene
     err, img = checked_render(vol, tf, cam, SETTINGS,

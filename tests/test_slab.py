@@ -62,6 +62,7 @@ def _march(vol, tf, cam, h=H, w=W, *, et=False, eps=1.0 / 255.0,
 
 @pytest.mark.parametrize("yaw,pitch", [(30.0, 20.0), (120.0, -35.0),
                                        (200.0, 5.0), (0.0, 80.0)])
+@pytest.mark.slow
 def test_matches_oracle_all_orientations(scene, yaw, pitch):
     vol, tf = scene
     cam = OrbitCamera.from_angles(yaw_deg=yaw, pitch_deg=pitch)
@@ -69,6 +70,7 @@ def test_matches_oracle_all_orientations(scene, yaw, pitch):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_matches_oracle_early_termination(scene):
     vol, tf = scene
     cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
@@ -80,6 +82,7 @@ def test_matches_oracle_early_termination(scene):
                                              (120.0, -35.0, 3),
                                              (200.0, 5.0, 8),
                                              (0.0, 80.0, 2)])
+@pytest.mark.slow
 def test_matches_oracle_step_batched(scene, yaw, pitch, batch):
     """Forward step batching (fused (B*P, K) matmuls in the hot loop):
     bit-exact parity with the oracle at every batch size across all slab
@@ -90,6 +93,7 @@ def test_matches_oracle_step_batched(scene, yaw, pitch, batch):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_matches_oracle_step_batched_early_termination(scene):
     """BATCH>1 with the in-slab while_loop exit: masking semantics must
     keep the batched ET image identical to the oracle's per-ray break."""
@@ -99,6 +103,7 @@ def test_matches_oracle_step_batched_early_termination(scene):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bwd_batch,et", [(2, False), (4, True), (3, False)])
 def test_backward_step_batched_matches_oracle(bwd_batch, et):
     """The Pallas backward's step batching: gradient parity vs the
@@ -140,6 +145,7 @@ def test_backward_step_batched_matches_oracle(bwd_batch, et):
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_matches_oracle_slicing(scene):
     vol, tf = scene
     cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
@@ -148,6 +154,7 @@ def test_matches_oracle_slicing(scene):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_matches_oracle_nondivisible_image(scene):
     """H, W not multiples of the 16x16 tile: padded rays must be inert."""
     vol, tf = scene
@@ -157,6 +164,7 @@ def test_matches_oracle_nondivisible_image(scene):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fast_mode_close(scene):
     """DEFAULT-precision matmuls: error under half a display quantum."""
     vol, tf = scene
@@ -175,6 +183,7 @@ def test_api_method_slab(scene):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_api_method_slab_under_jit(scene):
     """render(method='slab') must work INSIDE jax.jit with a closed-over
     concrete camera — the envelope check runs at compile time
@@ -197,6 +206,7 @@ def test_api_method_slab_under_jit(scene):
 @pytest.mark.parametrize("bwd,bwd_mode", [("fused", "exact"),
                                           ("slab", "exact"),
                                           ("slab", "high")])
+@pytest.mark.slow
 def test_gradients_match_oracle(scene, bwd, bwd_mode):
     """Both custom-VJP backwards — the XLA fused re-march delegate and the
     TPU-native Pallas slab backward — match the oracle's plain autodiff;
@@ -239,6 +249,7 @@ def test_gradients_match_oracle(scene, bwd, bwd_mode):
 
 @pytest.mark.parametrize("yaw,pitch,et", [(120.0, -35.0, False),
                                           (30.0, 20.0, True)])
+@pytest.mark.slow
 def test_pallas_backward_orientations_and_et(yaw, pitch, et):
     """The Pallas backward across slab orientations, early termination on
     and off, including the density-window scalar grads."""
@@ -282,6 +293,7 @@ def test_pallas_backward_orientations_and_et(yaw, pitch, et):
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_matches_oracle_wide_lane_volume():
     """nc_dim > 128: exercises the 128-lane c-window level and its fits()
     fallback in interpreter mode (otherwise only covered on hardware).
@@ -322,6 +334,7 @@ def test_envelope_violations_rays():
                 radius, fov)
 
 
+@pytest.mark.slow
 def test_wide_fov_close_camera_matches_oracle(scene):
     """Extreme camera (radius 1.0, 120 deg FoV): the slab kernel must
     produce the oracle's image, not silently drop pixels."""

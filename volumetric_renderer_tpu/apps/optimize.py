@@ -59,6 +59,13 @@ def main(argv=None):
                          "production layout per SCALING_r03)")
     ap.add_argument("--slab-mode", default="exact",
                     choices=["exact", "fast"])
+    ap.add_argument("--parallel", default="pixels",
+                    choices=["pixels", "depth"],
+                    help="pixels: rows/tiles sharded, grid replicated "
+                         "(fastest; fits <=512^3). depth: the grid and "
+                         "its Adam moments sharded along the march axis "
+                         "(the >=1024^3 growth path; views must share "
+                         "one dominant axis)")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,7 +92,8 @@ def main(argv=None):
                               step_size=1.8 / args.march_steps,
                               early_termination=False,
                               tf_resolution=args.tf_resolution)
-    mesh = make_mesh()
+    depth_par = args.parallel == "depth"
+    mesh = make_mesh(axis_names=("depth",) if depth_par else None)
     print(f"mesh: {mesh.shape} over {mesh.size} device(s)", file=sys.stderr)
 
     if args.dataset:
@@ -98,16 +106,30 @@ def main(argv=None):
     tf_gt = tf_gt.at[:, 3].set(
         jnp.linspace(0.0, 0.8, args.tf_resolution))
 
-    # posed target views on an orbit ring (config 4 geometry)
-    yaws = np.linspace(0.0, 360.0, args.views, endpoint=False)
+    # posed target views on an orbit ring (config 4 geometry).  Depth
+    # parallelism lays the grid out along ONE march axis, so its views
+    # come from two opposing yaw arcs (both reverse directions of that
+    # axis) instead of the full ring.
+    if depth_par:
+        half = -(-args.views // 2)
+        yaws = np.concatenate([
+            np.linspace(-40.0, 40.0, half),
+            np.linspace(140.0, 220.0, args.views - half),
+        ])
+    else:
+        yaws = np.linspace(0.0, 360.0, args.views, endpoint=False)
     cams = [OrbitCamera.from_angles(yaw_deg=float(a), pitch_deg=20.0)
             for a in yaws]
     cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
 
     method = args.method
     if method == "auto":
-        method = "slab" if jax.default_backend() == "tpu" else "fused"
-    print(f"method: {method} ({args.row_layout} row layout)",
+        method = "slab" if (jax.default_backend() == "tpu" or depth_par) \
+            else "fused"
+    if depth_par and method != "slab":
+        raise SystemExit("--parallel depth runs the slab kernel only")
+    print(f"method: {method} "
+          f"({'depth-sharded grid' if depth_par else args.row_layout + ' row layout'})",
           file=sys.stderr)
 
     fixed = dict(vol=vol_gt, tf=tf_gt,
@@ -115,7 +137,8 @@ def main(argv=None):
                  dmax=jnp.float32(jnp.max(vol_gt)),
                  smin=jnp.zeros(3), smax=jnp.ones(3))
 
-    train_kw = dict(method=method, row_layout=args.row_layout)
+    interpret = jax.default_backend() != "tpu"
+    train_kw = {}
     if method == "slab":
         from volumetric_renderer_tpu.parallel.train import (
             slab_axes_for_cameras,
@@ -124,12 +147,20 @@ def main(argv=None):
         codes, slab_axes = slab_axes_for_cameras(cams)
         fixed["axis_codes"] = codes
         train_kw.update(vol_shape=tuple(vol_gt.shape), slab_axes=slab_axes,
-                        slab_mode=args.slab_mode,
-                        interpret=jax.default_backend() != "tpu")
+                        slab_mode=args.slab_mode, interpret=interpret)
         print(f"slab orientations: {slab_axes}", file=sys.stderr)
 
     timers = PhaseTimers()
-    render_fn = make_sharded_renderer(mesh, settings)
+    if depth_par:
+        from volumetric_renderer_tpu.render.api import render as render_api
+
+        def render_fn(v, t, c, dmin, dmax, smin, smax):
+            return render_api(v, t, c, settings, density_min=dmin,
+                              density_max=dmax, slice_min=smin,
+                              slice_max=smax, method="fused",
+                              interpret=interpret)
+    else:
+        render_fn = make_sharded_renderer(mesh, settings)
     with timers.phase("render_targets"):
         targets = jnp.stack([
             render_fn(vol_gt, tf_gt, c, fixed["dmin"], fixed["dmax"],
@@ -139,9 +170,19 @@ def main(argv=None):
     optimize_vol = args.mode == "invert"
     optimize_tf = args.mode == "tf-fit"
     optimizer = optax.adam(args.lr)
-    step_fn = make_train_step(mesh, settings, optimizer,
-                              optimize_vol=optimize_vol,
-                              optimize_tf=optimize_tf, **train_kw)
+    if depth_par:
+        from volumetric_renderer_tpu.parallel.train import (
+            make_depth_train_step,
+        )
+
+        step_fn = make_depth_train_step(mesh, settings, optimizer,
+                                        optimize_vol=optimize_vol,
+                                        optimize_tf=optimize_tf, **train_kw)
+    else:
+        train_kw.update(method=method, row_layout=args.row_layout)
+        step_fn = make_train_step(mesh, settings, optimizer,
+                                  optimize_vol=optimize_vol,
+                                  optimize_tf=optimize_tf, **train_kw)
 
     params = {}
     if optimize_vol:
@@ -152,7 +193,13 @@ def main(argv=None):
         key = jax.random.PRNGKey(args.seed)
         params["tf"] = jax.random.uniform(
             key, (args.tf_resolution, 4), jnp.float32, 0.2, 0.8)
-    state = init_state(optimizer, params)
+    if depth_par:
+        from volumetric_renderer_tpu.parallel.train import init_depth_state
+
+        state = init_depth_state(optimizer, params, mesh,
+                                 train_kw["slab_axes"][0][0])
+    else:
+        state = init_state(optimizer, params)
 
     start = 0
     if args.resume and args.ckpt_dir:

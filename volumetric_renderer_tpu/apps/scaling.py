@@ -111,6 +111,48 @@ def main(argv=None):
     print(f"# full frame: {t_full*1e3:.1f} ms, dispatch floor "
           f"{t_floor*1e3:.1f} ms", file=sys.stderr)
 
+    # Dispatch-floor VALIDATION (not just an argument): render the N=max
+    # tile-cyclic bands once as N separate dispatches (what the emulation
+    # sums) and once fused into ONE dispatch (lax.map over the stacked
+    # bands — still serial compute on the one chip, but a single host
+    # dispatch + compiled program).  If the floor is real per-dispatch
+    # overhead rather than compute, the fused run saves ~(N-1) floors:
+    #   floor_implied = (sum(band_ms) - t_fused) / (N - 1)
+    # should come out near the all-miss-render floor measured above.
+    n_val = max(args.devices)
+    floor_val = None
+    if n_val > 1:
+        gh, gw, pack, _, valid = make_layout("tile-cyclic", h, w, n_val)
+        band_h = gh // n_val
+        dirs_g = pack(dirs)
+        dirs_g = jnp.where(valid[..., None] > 0.0, dirs_g,
+                           jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+        marcher = build(band_h, gw)
+        bands = jnp.stack([dirs_g[d * band_h:(d + 1) * band_h]
+                           for d in range(n_val)])
+        t_sep = [timed(marcher, bands[d]) for d in range(n_val)]
+
+        fused = jax.jit(lambda v, t, bs: jax.lax.map(
+            lambda d: marcher(v, t, origin, d, *scal), bs))
+        jax.block_until_ready(fused(vol, tf, bands))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fused(vol, tf, bands))
+            ts.append(time.perf_counter() - t0)
+        t_fused = float(np.median(ts))
+        floor_implied = (sum(t_sep) - t_fused) / (n_val - 1)
+        floor_val = dict(
+            n=n_val,
+            sum_separate_ms=round(sum(t_sep) * 1e3, 2),
+            fused_one_dispatch_ms=round(t_fused * 1e3, 2),
+            floor_implied_ms=round(floor_implied * 1e3, 2),
+            floor_all_miss_ms=round(t_floor * 1e3, 2))
+        print(f"# floor validation N={n_val}: separate "
+              f"{sum(t_sep)*1e3:.1f} ms vs fused {t_fused*1e3:.1f} ms "
+              f"-> implied floor {floor_implied*1e3:.1f} ms/dispatch "
+              f"(all-miss render: {t_floor*1e3:.1f} ms)", file=sys.stderr)
+
     results = []
     for n in args.devices:
         if n == 1:
@@ -162,6 +204,7 @@ def main(argv=None):
         device=str(dev.device_kind),
         t_full_ms=round(t_full * 1e3, 2),
         dispatch_floor_ms=round(t_floor * 1e3, 2),
+        dispatch_floor_validation=floor_val,
         emulated_strong_scaling=results,
     )
     text = json.dumps(out, indent=1)

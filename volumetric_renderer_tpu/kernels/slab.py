@@ -1137,18 +1137,27 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
 
                 # (8, B*P) cotangent built row-by-row with lane broadcasts
                 # (jnp.stack of (P,) pieces is a lanes->sublanes transpose
-                # Mosaic cannot lay out)
+                # Mosaic cannot lay out; 1-D concatenation of the (P,)
+                # pieces is also out — Mosaic only implements vector
+                # concat offsets inside the first 128-lane tile — so the
+                # pieces concat as (1, P) rows along lanes, which IS
+                # supported at the P-aligned offsets)
                 BP = BATCH * P
+
+                def cat_lanes(pieces):
+                    return jnp.concatenate(
+                        [q.reshape(1, -1) for q in pieces], axis=1)
+
                 rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, BP), 0)
-                gr_cat = jnp.concatenate([gr[0] for gr in g_rows])
-                gg_cat = jnp.concatenate([gr[1] for gr in g_rows])
-                gb_cat = jnp.concatenate([gr[2] for gr in g_rows])
-                da_cat = jnp.concatenate([gr[3] for gr in g_rows])
+                gr_cat = cat_lanes([gr[0] for gr in g_rows])
+                gg_cat = cat_lanes([gr[1] for gr in g_rows])
+                gb_cat = cat_lanes([gr[2] for gr in g_rows])
+                da_cat = cat_lanes([gr[3] for gr in g_rows])
                 g8_cat = (
-                    jnp.where(rows8 == 0, gr_cat[None, :], 0.0)
-                    + jnp.where(rows8 == 1, gg_cat[None, :], 0.0)
-                    + jnp.where(rows8 == 2, gb_cat[None, :], 0.0)
-                    + jnp.where(rows8 == 3, da_cat[None, :], 0.0))
+                    jnp.where(rows8 == 0, gr_cat, 0.0)
+                    + jnp.where(rows8 == 1, gg_cat, 0.0)
+                    + jnp.where(rows8 == 2, gb_cat, 0.0)
+                    + jnp.where(rows8 == 3, da_cat, 0.0))
 
                 # TF-table gradient: ONE ray-contracted matmul per batch
                 tfg[:, :] += _pdotg(
@@ -1156,10 +1165,10 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
 
                 # density cotangent via d rgba / dt = (tf[hi]-tf[lo]) * ntf
                 trows = jax.lax.broadcasted_iota(jnp.int32, (ntf, BP), 0)
-                lo_cat = jnp.concatenate(los)
-                hi_cat = jnp.concatenate(his)
-                dwtf_cat = (jnp.where(trows == hi_cat[None, :], 1.0, 0.0)
-                            - jnp.where(trows == lo_cat[None, :], 1.0, 0.0)
+                lo_cat = cat_lanes(los)      # (1, BP) — see cat_lanes above
+                hi_cat = cat_lanes(his)
+                dwtf_cat = (jnp.where(trows == hi_cat, 1.0, 0.0)
+                            - jnp.where(trows == lo_cat, 1.0, 0.0)
                             ) * float(ntf)
                 drgba_cat = _pdot(tft[:, :], dwtf_cat, precision)
                 dL_dt = jnp.sum(g8_cat * drgba_cat, axis=0)

@@ -77,11 +77,20 @@ def composite_chunks(partials, reverse: bool = False) -> jnp.ndarray:
     return out
 
 
+def depth_vol_spec(slab_axis: int) -> P:
+    """PartitionSpec placing a ``(Z, Y, X)`` grid on the depth mesh: the
+    slab axis's volume-array dimension shards, the rest replicate."""
+    spec = [None] * 3
+    spec[_PERMS[slab_axis][0]] = DEPTH_AXIS
+    return P(*spec)
+
+
 def make_depth_sharded_renderer(mesh, settings: RenderSettings,
                                 *, vol_shape, slab_axis: int = 0,
                                 slab_reverse: bool = False,
                                 slab_mode: str = "exact",
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                jit: bool = True):
     """Build ``f(vol, tf, camera, dmin, dmax, smin, smax) -> (H, W, 4)``
     with the VOXEL GRID sharded over the mesh's ``"depth"`` axis.
 
@@ -89,6 +98,9 @@ def make_depth_sharded_renderer(mesh, settings: RenderSettings,
     axis must divide the depth-mesh size (pad the volume otherwise —
     zero rows compose to identity).  The camera must be concrete
     (``slab_axis``/``slab_reverse`` from ``choose_axis_from_camera``).
+    ``jit=False`` returns the untraced function (for embedding in a
+    larger jitted program, e.g. the depth-sharded train step, where the
+    caller owns the shardings).
     """
     if DEPTH_AXIS not in mesh.axis_names:
         raise ValueError(f"mesh needs a {DEPTH_AXIS!r} axis")
@@ -106,8 +118,10 @@ def make_depth_sharded_renderer(mesh, settings: RenderSettings,
     h, w = settings.height, settings.width
 
     # interpret-mode Pallas cannot run under vma checking (see
-    # parallel/render.py); the psum placement flips with it.
-    check_vma = not interpret
+    # parallel/render.py); the psum placement flips with it.  A 1-chip
+    # depth mesh (the degenerate single-device case) also cannot: vma
+    # inference refuses to certify replication over a size-1 axis.
+    check_vma = not interpret and n_depth > 1
     if check_vma:
         tf_axes = tuple(mesh.axis_names)            # replicated everywhere
         vol_axes = tuple(a for a in mesh.axis_names if a != DEPTH_AXIS)
@@ -122,9 +136,7 @@ def make_depth_sharded_renderer(mesh, settings: RenderSettings,
         interpret=interpret, vary_axes=tf_axes, vol_vary_axes=vol_axes,
         a_body=body, na_total=na)
 
-    vol_spec = [None] * 3
-    vol_spec[vax] = DEPTH_AXIS
-    vol_spec = P(*vol_spec)
+    vol_spec = depth_vol_spec(slab_axis)
     rep = P()
 
     def shard_body(vol_local, tf, origin, dirs, dmin, dmax, smin, smax):
@@ -150,15 +162,16 @@ def make_depth_sharded_renderer(mesh, settings: RenderSettings,
         check_vma=check_vma,
     )
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(NamedSharding(mesh, vol_spec),
-                      NamedSharding(mesh, rep)) + (None,) * 5,
-    )
     def render_fn(vol, tf, camera, dmin, dmax, smin, smax):
         origin, dirs = ray_grid(
             camera, h, w, settings.fov_y_degrees, settings.near,
             settings.far)
         return sharded(vol, tf, origin + 0.5, dirs, dmin, dmax, smin, smax)
 
-    return render_fn
+    if not jit:
+        return render_fn
+    return functools.partial(
+        jax.jit,
+        in_shardings=(NamedSharding(mesh, vol_spec),
+                      NamedSharding(mesh, rep)) + (None,) * 5,
+    )(render_fn)

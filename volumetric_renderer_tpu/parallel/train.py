@@ -150,3 +150,110 @@ def make_train_step(mesh, settings: RenderSettings, optimizer,
 
 def init_state(optimizer, params: dict) -> TrainState:
     return TrainState(params, optimizer.init(params), jnp.int32(0))
+
+
+def make_depth_train_step(mesh, settings: RenderSettings, optimizer,
+                          *, optimize_vol: bool, optimize_tf: bool,
+                          vol_shape, slab_axes: tuple,
+                          slab_mode: str = "exact",
+                          interpret: bool = False):
+    """Training step with the GRID — and therefore its gradient and Adam
+    moments — sharded over the mesh's ``"depth"`` axis.
+
+    This is the growth path past one chip's HBM (SURVEY §7.2.5 "v2",
+    BASELINE config 5): a 1024³ f32 grid + grad + 2 Adam moments is
+    16 GiB, but over an 8-way depth mesh each chip holds 2 GiB.  The
+    pixel-sharded step (:func:`make_train_step`) replicates all of it.
+
+    Same contract as :func:`make_train_step` — ``(state, fixed, cameras,
+    targets) -> (state, loss)`` with ``fixed["axis_codes"]`` selecting the
+    per-view kernel — with one structural restriction: every posed view
+    must march along ONE volume axis (the axis the grid is physically
+    laid out over); opposing directions (reverse False/True) each get
+    their own compiled kernel.  Distributing the march loop of
+    ``res/shaders/volume.frag:29-50`` along the ray means the decomposed
+    axis is baked into the data layout, unlike pixel sharding.
+
+    ``state.params["vol"]`` must be placed with :func:`init_depth_state`
+    (or any placement — the step constrains shardings itself, but a
+    replicated init defeats the memory point).
+    """
+    from volumetric_renderer_tpu.parallel.depth import (
+        depth_vol_spec, make_depth_sharded_renderer,
+    )
+
+    axes = {a for a, _ in slab_axes}
+    if len(axes) != 1:
+        raise ValueError(
+            "depth-sharded training lays the grid out along ONE slab "
+            f"axis; the views need {sorted(axes)} — restrict the camera "
+            "ring to a single dominant axis (both reverse directions "
+            "are fine)")
+    render_fns = [
+        make_depth_sharded_renderer(mesh, settings,
+                                    vol_shape=tuple(vol_shape),
+                                    slab_axis=a, slab_reverse=r,
+                                    slab_mode=slab_mode,
+                                    interpret=interpret, jit=False)
+        for (a, r) in slab_axes
+    ]
+    vshard = NamedSharding(mesh, depth_vol_spec(next(iter(axes))))
+
+    def shard_vol(x):
+        return jax.lax.with_sharding_constraint(x, vshard)
+
+    def loss_fn(params, fixed, cameras, targets):
+        vol = params["vol"] if optimize_vol else fixed["vol"]
+        tf = params["tf"] if optimize_tf else fixed["tf"]
+        if optimize_vol:
+            vol = shard_vol(vol)
+
+        def one_view(i, carry):
+            cam = jax.tree.map(lambda x: x[i], cameras)
+            fargs = (vol, tf, cam, fixed["dmin"], fixed["dmax"],
+                     fixed["smin"], fixed["smax"])
+            if len(render_fns) == 1:
+                img = render_fns[0](*fargs)
+            else:
+                img = jax.lax.switch(
+                    fixed["axis_codes"][i],
+                    [functools.partial(f, *fargs) for f in render_fns])
+            return carry + jnp.mean((img - targets[i]) ** 2)
+
+        total = jax.lax.fori_loop(0, targets.shape[0], one_view,
+                                  jnp.float32(0.0))
+        return total / targets.shape[0]
+
+    @jax.jit
+    def train_step(state: TrainState, fixed, cameras, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, fixed, cameras, targets)
+        if optimize_vol:
+            # the grid cotangent comes out of the shard_map transpose
+            # already depth-sharded; pin it so the optimizer update (and
+            # the Adam moments it touches) never rematerializes a
+            # replicated copy
+            grads = dict(grads, vol=shard_vol(grads["vol"]))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        if optimize_tf:
+            params = dict(params, tf=jnp.clip(params["tf"], 0.0, 1.0))
+        if optimize_vol:
+            params = dict(params,
+                          vol=shard_vol(jnp.maximum(params["vol"], 0.0)))
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def init_depth_state(optimizer, params: dict, mesh,
+                     slab_axis: int) -> TrainState:
+    """``init_state`` with ``params["vol"]`` (hence the Adam moments
+    ``zeros_like`` it) physically placed on the depth mesh."""
+    from volumetric_renderer_tpu.parallel.depth import depth_vol_spec
+
+    if "vol" in params:
+        sh = NamedSharding(mesh, depth_vol_spec(slab_axis))
+        params = dict(params, vol=jax.device_put(params["vol"], sh))
+    return TrainState(params, optimizer.init(params), jnp.int32(0))
