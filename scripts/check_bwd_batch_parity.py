@@ -2,10 +2,10 @@
 backward, on the real chip (the interpret-mode tests cover semantics;
 this covers the Mosaic lowering).  Small config-1-like scene."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax_compcache")

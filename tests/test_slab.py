@@ -247,6 +247,46 @@ def test_gradients_match_oracle(scene, bwd, bwd_mode):
                                atol=1e-4, rtol=1e-5)
 
 
+def test_gradient_parity_fast():
+    """One cheap gradient-parity case kept in the fast suite so a
+    `-m 'not slow'` run still guards the production custom VJP (the
+    full orientation/mode matrix is in the slow tests above)."""
+    import jax
+
+    vol = Volume.synthetic_sphere(8).as_jax()
+    tf = jnp.asarray(Gradient.grayscale_ramp().discretize(8))
+    tf = tf.at[:, 3].set(jnp.linspace(0.0, 1.0, 8) ** 2)
+    cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
+    origin, dirs = ray_grid(cam, 16, 16)
+    origin = origin + 0.5
+    args = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
+
+    axis, reverse = choose_axis_from_camera(cam)
+    marcher = make_slab_marcher(12, 1.8 / 12, False, 1.0 / 255.0,
+                                tuple(vol.shape), tf.shape[0], 16, 16,
+                                axis=axis, reverse=reverse, interpret=True,
+                                bwd="slab", bwd_mode="exact",
+                                bwd_step_batch=2)
+
+    def loss_slab(v, t):
+        return jnp.sum(marcher(v, t, origin, dirs, *args) ** 2)
+
+    def loss_oracle(v, t):
+        img = march_rays(v, t, origin, dirs, density_min=args[0],
+                         density_max=args[1], slice_min=args[2],
+                         slice_max=args[3], num_steps=12,
+                         step_size=1.8 / 12, early_termination=False,
+                         termination_eps=1.0 / 255.0)
+        return jnp.sum(img ** 2)
+
+    gv, gt = jax.grad(loss_slab, argnums=(0, 1))(vol, tf)
+    gv_ref, gt_ref = jax.grad(loss_oracle, argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
+                               atol=1e-4, rtol=1e-5)
+
+
 @pytest.mark.parametrize("yaw,pitch,et", [(120.0, -35.0, False),
                                           (30.0, 20.0, True)])
 @pytest.mark.slow

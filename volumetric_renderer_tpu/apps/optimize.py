@@ -152,19 +152,39 @@ def main(argv=None):
 
     timers = PhaseTimers()
     if depth_par:
-        from volumetric_renderer_tpu.render.api import render as render_api
+        # Targets render through the depth-sharded renderer with the
+        # ground-truth grid physically placed over the mesh — at the
+        # >=1024^3 scale this mode exists for, an unsharded render would
+        # replicate the grid on one device (ADVICE r04).
+        from jax.sharding import NamedSharding
+        from volumetric_renderer_tpu.parallel.depth import (
+            depth_vol_spec, make_depth_sharded_renderer,
+        )
 
-        def render_fn(v, t, c, dmin, dmax, smin, smax):
-            return render_api(v, t, c, settings, density_min=dmin,
-                              density_max=dmax, slice_min=smin,
-                              slice_max=smax, method="fused",
-                              interpret=interpret)
+        vol_sh = NamedSharding(mesh, depth_vol_spec(slab_axes[0][0]))
+        vol_gt = jax.device_put(vol_gt, vol_sh)
+        fixed["vol"] = vol_gt
+        depth_renderers = [
+            make_depth_sharded_renderer(
+                mesh, settings, vol_shape=tuple(vol_gt.shape),
+                slab_axis=a, slab_reverse=r, slab_mode=args.slab_mode,
+                interpret=interpret, jit=True)
+            for (a, r) in slab_axes
+        ]
+
+        def render_view(i, c):
+            fn = depth_renderers[int(fixed["axis_codes"][i])]
+            return fn(vol_gt, tf_gt, c, fixed["dmin"], fixed["dmax"],
+                      fixed["smin"], fixed["smax"])
     else:
         render_fn = make_sharded_renderer(mesh, settings)
+
+        def render_view(i, c):
+            return render_fn(vol_gt, tf_gt, c, fixed["dmin"], fixed["dmax"],
+                             fixed["smin"], fixed["smax"])
     with timers.phase("render_targets"):
-        targets = jnp.stack([
-            render_fn(vol_gt, tf_gt, c, fixed["dmin"], fixed["dmax"],
-                      fixed["smin"], fixed["smax"]) for c in cams])
+        targets = jnp.stack([render_view(i, c)
+                             for i, c in enumerate(cams)])
         jax.block_until_ready(targets)
 
     optimize_vol = args.mode == "invert"
@@ -206,6 +226,19 @@ def main(argv=None):
         ck = latest_checkpoint(args.ckpt_dir)
         if ck:
             state, start = load_checkpoint(ck, state)
+            if depth_par:
+                # the checkpoint restores host arrays; re-place every
+                # grid-shaped leaf (params["vol"] + its Adam moments) on
+                # the depth mesh before the first step so resume never
+                # materializes them replicated (ADVICE r04)
+                grid_shape = tuple(vol_gt.shape)
+
+                def _place(x):
+                    if getattr(x, "shape", None) == grid_shape:
+                        return jax.device_put(jnp.asarray(x), vol_sh)
+                    return x
+
+                state = jax.tree.map(_place, state)
             print(f"resumed from {ck} at step {start}", file=sys.stderr)
 
     rays_per_step = args.views * h * w

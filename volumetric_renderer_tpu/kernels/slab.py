@@ -471,7 +471,9 @@ import os as _os
 
 _FWD_VMEM_BUDGET = int(_os.environ.get("VRT_FWD_VMEM_MB", "9")) * 2 ** 20
 _MIN_ROWS = int(_os.environ.get("VRT_MIN_ROWS", "12"))
-_STEP_BATCH = int(_os.environ.get("VRT_STEP_BATCH", "1"))
+# Forward default step_batch=2: +6.6% measured on v5e (ABLATION_STEPBATCH_r04,
+# 1.147M vs 1.076M rays/s at the flagship); hardware parity vs batch-1 at 0.0.
+_STEP_BATCH = int(_os.environ.get("VRT_STEP_BATCH", "2"))
 _BWD_STEP_BATCH = int(_os.environ.get("VRT_BWD_STEP_BATCH", "1"))
 
 
@@ -510,6 +512,14 @@ def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=None, min_rows=None):
 # (~32 MiB of the 64 MiB Mosaic limit), plus (P, nb/nc)-sized step
 # temporaries.
 _BWD_VMEM_BUDGET = int(_os.environ.get("VRT_BWD_VMEM_MB", "6")) * 2 ** 20
+
+# Scoped-VMEM ceiling for the backward pallas call.  At 512^3 the four
+# live slab buffers (double-buffered volume in + gradient out, 12 rows x
+# 1 MiB) plus step temporaries need 65.96 MiB (hardware-measured OOM at
+# the former 64 MiB limit); v5e has 128 MiB physical VMEM, so the
+# backward gets 100 MiB and `make_slab_bwd` clamps slab thickness so the
+# slab buffers alone can never exceed limit - 40 MiB of headroom.
+_BWD_VMEM_LIMIT = int(_os.environ.get("VRT_BWD_VMEM_LIMIT_MB", "100")) * 2 ** 20
 
 # "high" is a MANUAL bf16x3 decomposition (Mosaic's dot lowering knows
 # only DEFAULT and HIGHEST): x = hi + lo with hi = bf16(x); then
@@ -1301,6 +1311,13 @@ def make_slab_bwd(num_steps: int, step_size: float,
     na_math = na_total if chunked else na_local
     thick = _choose_thick(body, nb_dim, nc_dim,
                           vmem_budget=_BWD_VMEM_BUDGET)
+    # Legal-thickness guard: the four slab-sized buffers (2x volume in +
+    # 2x gradient out) must leave >= 40 MiB of the scoped limit for the
+    # per-step temporaries, else clamp below the _MIN_ROWS floor (which
+    # otherwise wins at large faces: 512^3 is 1 MiB/row).
+    per_row = nb_dim * nc_dim * 4
+    max_rows = max(4, (_BWD_VMEM_LIMIT - 40 * 2 ** 20) // (4 * per_row))
+    thick = min(thick, int(max_rows) - 1)
     n_slab = -(-body // thick)
     rows = thick + 1
     levels = _make_levels(rows, nb_dim, nc_dim)
@@ -1369,10 +1386,10 @@ def make_slab_bwd(num_steps: int, step_size: float,
                    jax.ShapeDtypeStruct((1, 8), jnp.float32, vma=vma)),
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
-        # see the forward call: 512^3 gradient slabs exceed the default
-        # 16 MiB scoped-vmem flag (measured: 17.4 MiB at 512^3)
+        # 512^3 gradient slabs need 65.96 MiB scoped VMEM (measured);
+        # see _BWD_VMEM_LIMIT above
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2 ** 20),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
     )
 
     inv_perm = tuple(int(i) for i in np.argsort(perm))
