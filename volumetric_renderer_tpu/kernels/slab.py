@@ -846,6 +846,18 @@ def make_slab_renderer(num_steps: int, step_size: float,
     return forward
 
 
+_PREC_NAMES = {"highest": jax.lax.Precision.HIGHEST, "x3": _X3,
+               "fast": jax.lax.Precision.DEFAULT}
+
+
+def _env_prec(name, default):
+    """Per-matmul backward precision override for hardware cost/parity
+    sweeps (VRT_BWD_{DENSITY,FETCH,DWTF,TFG,SCATTER}_PREC in
+    {highest,x3,fast}); production modes never set these."""
+    v = _os.environ.get(name, "")
+    return _PREC_NAMES[v] if v else default
+
+
 def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                      density_precision=None, step_batch=1):
     """Backward kernel: re-march slab-by-slab and accumulate gradients.
@@ -877,6 +889,11 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
     BATCH = step_batch
     if density_precision is None:
         density_precision = precision
+    p_density = _env_prec("VRT_BWD_DENSITY_PREC", density_precision)
+    p_fetch = _env_prec("VRT_BWD_FETCH_PREC", density_precision)
+    p_dwtf = _env_prec("VRT_BWD_DWTF_PREC", precision)
+    p_tfg = _env_prec("VRT_BWD_TFG_PREC", precision)
+    p_scatter = _env_prec("VRT_BWD_SCATTER_PREC", precision)
 
     def kernel(gmeta, tmeta, flag, rays, slab, tft, state,
                state_out, flag_out, volg, tfg, sg):
@@ -1052,7 +1069,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                                 [w * wz_row(s, z0, rr)[:, None]
                                  for s, w in zip(subs, wyts)], axis=0)
                             v1 = v1 + _pdot(a_mat, slab[0, z0 + rr, :, :],
-                                            density_precision)
+                                            p_density)
                         return [jnp.sum(v1[bb * P:(bb + 1) * P]
                                         * _tent_lanes(s["cc"], s["wc"], nc),
                                         axis=1)
@@ -1074,7 +1091,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                     v1 = _pdot(
                         jnp.concatenate(a_rows, axis=0),
                         jnp.concatenate([b_win(rr) for rr in range(zw)],
-                                        axis=0), density_precision)
+                                        axis=0), p_density)
                     outs = []
                     for bb, s in enumerate(subs):
                         lc = s["cc"] if c0 is None else s["cc"] - c0
@@ -1117,7 +1134,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                                         ntf - 1))
                     wtfs.append(_tf_weights_t(x, ntf))
                 wtf_cat = jnp.concatenate(wtfs, axis=1)      # (ntf, B*P)
-                rgba_cat = _pdot(tft[:, :], wtf_cat, density_precision)
+                rgba_cat = _pdot(tft[:, :], wtf_cat, p_fetch)
 
                 # serial prefix-sum cotangent chain (core.fused.march_bwd
                 # float ops in the same order)
@@ -1171,7 +1188,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
 
                 # TF-table gradient: ONE ray-contracted matmul per batch
                 tfg[:, :] += _pdotg(
-                    g8_cat, wtf_cat, (((1,), (1,)), ((), ())), precision)
+                    g8_cat, wtf_cat, (((1,), (1,)), ((), ())), p_tfg)
 
                 # density cotangent via d rgba / dt = (tf[hi]-tf[lo]) * ntf
                 trows = jax.lax.broadcasted_iota(jnp.int32, (ntf, BP), 0)
@@ -1180,7 +1197,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                 dwtf_cat = (jnp.where(trows == hi_cat, 1.0, 0.0)
                             - jnp.where(trows == lo_cat, 1.0, 0.0)
                             ) * float(ntf)
-                drgba_cat = _pdot(tft[:, :], dwtf_cat, precision)
+                drgba_cat = _pdot(tft[:, :], dwtf_cat, p_dwtf)
                 dL_dt = jnp.sum(g8_cat * drgba_cat, axis=0)
                 dd_cat = dL_dt * inv_w
                 for bb, t in enumerate(ts):
@@ -1206,7 +1223,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                                 [w * wz_row(s, z0, rr)[:, None]
                                  for s, w in zip(subs, wyts)], axis=0)
                             m = _pdotg(a_cat, ddwxt,
-                                       (((0,), (0,)), ((), ())), precision)
+                                       (((0,), (0,)), ((), ())), p_scatter)
                             volg[0, z0 + rr, :, :] += m
                         return jnp.int32(0)
                     y0, c0 = level_windows(yw, cw)
@@ -1223,7 +1240,7 @@ def _make_bwd_kernel(*, thick, nb, nc, ntf, levels, precision,
                             [wyt * wz_row(s, z0, rr)[:, None]
                              for rr in range(zw)], axis=1))
                     m_big = _pdotg(jnp.concatenate(a_rows, axis=0), ddwxt,
-                                   (((0,), (0,)), ((), ())), precision)
+                                   (((0,), (0,)), ((), ())), p_scatter)
                     for rr in range(zw):
                         m = m_big[rr * yw:(rr + 1) * yw, :]
                         if cw >= nc:
@@ -1317,6 +1334,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
     # otherwise wins at large faces: 512^3 is 1 MiB/row).
     per_row = nb_dim * nc_dim * 4
     max_rows = max(4, (_BWD_VMEM_LIMIT - 40 * 2 ** 20) // (4 * per_row))
+    max_rows = int(_os.environ.get("VRT_BWD_MAX_ROWS", str(max_rows)))
     thick = min(thick, int(max_rows) - 1)
     n_slab = -(-body // thick)
     rows = thick + 1
