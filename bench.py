@@ -87,19 +87,40 @@ def bench_grad(args, settings, grid_n, h, w, steps):
     cam = OrbitCamera.from_angles(yaw_deg=30.0, pitch_deg=20.0)
     axis, reverse = choose_axis_from_camera(cam)
     interpret = jax.default_backend() != "tpu"
+
+    # Ray-chunked training step: K row bands per step, gradients
+    # accumulated across one jitted band executable (ray minibatching —
+    # also keeps each device call within hosted-TPU per-call deadlines;
+    # a full 1080p 512^3 fwd+bwd in one call is ~80 s).
+    chunks = args.ray_chunks
+    if chunks == 0:
+        chunks = 4 if (grid_n >= 512 and not interpret) else 1
+    if h % chunks:
+        raise SystemExit(f"--ray-chunks {chunks} must divide height {h}")
+    hc = h // chunks
+
     marcher = make_slab_marcher(
         steps, settings.step_size, settings.early_termination,
-        settings.termination_eps, tuple(vol.shape), tf_n, h, w,
+        settings.termination_eps, tuple(vol.shape), tf_n, hc, w,
         axis=axis, reverse=reverse, mode=args.slab_mode,
         interpret=interpret, bwd="slab", bwd_mode=args.bwd_mode)
     origin, dirs = ray_grid(cam, h, w)
     origin = origin + 0.5
+    dirs_c = [dirs[i * hc:(i + 1) * hc] for i in range(chunks)]
     scal = (jnp.float32(0.0), jnp.float32(1.0), jnp.zeros(3), jnp.ones(3))
 
-    fwd = jax.jit(lambda v, t: marcher(v, t, origin, dirs, *scal))
-    grad = jax.jit(jax.value_and_grad(
-        lambda v, t: jnp.mean(marcher(v, t, origin, dirs, *scal) ** 2),
+    fwd1 = jax.jit(lambda v, t, d: marcher(v, t, origin, d, *scal))
+    grad1 = jax.jit(jax.value_and_grad(
+        lambda v, t, d: jnp.sum(marcher(v, t, origin, d, *scal) ** 2),
         argnums=(0, 1)))
+
+    def fwd(v, t):
+        return [fwd1(v, t, d) for d in dirs_c]
+
+    def grad(v, t):
+        # loss = mean over the full image; grads accumulate across bands
+        out = [grad1(v, t, d) for d in dirs_c]
+        return out[-1]
 
     def timeit(f):
         jax.block_until_ready(f(vol, tf))
@@ -149,6 +170,11 @@ def main():
                          "exact=bf16x6, high=density-exact + bf16x3 "
                          "gradient matmuls (parity 5.8e-5), fast=bf16 "
                          "(training only, ~7e-2)")
+    ap.add_argument("--ray-chunks", type=int, default=0,
+                    help="with --grad: split the image into K row bands "
+                         "per training step (gradient accumulation; 0 = "
+                         "auto: 1, or 4 at 512^3 where one full-image "
+                         "fwd+bwd call exceeds hosted-TPU deadlines)")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark the training path instead: "
                          "value_and_grad through the slab forward + "

@@ -203,3 +203,39 @@ def test_viewer_state_machine():
     st.reset()
     np.testing.assert_allclose(np.asarray(st.camera.orientation),
                                np.asarray(cam0.orientation))
+
+
+def test_viewer_cursor_wrap_around():
+    """Edge wrap-around during a drag (main_window.cpp:267-315): the
+    cursor warps to the opposite edge, the motion event after the warp
+    is ignored (its delta would be the warp jump), and subsequent drags
+    keep rotating from the warped position."""
+    from volumetric_renderer_tpu.apps.viewer import ViewerState
+    from volumetric_renderer_tpu.scene.camera import OrbitCamera
+
+    warps = []
+    cam0 = OrbitCamera.from_angles(yaw_deg=0.0, pitch_deg=0.0)
+    st = ViewerState(lambda c: np.zeros((4, 4, 3), np.float32), cam0,
+                     wrap_bounds=((0.0, 0.0), (100.0, 100.0)),
+                     warp_cursor=lambda x, y: warps.append((x, y)))
+
+    st.press(90, 50)
+    assert st.drag(105, 50)             # crosses max_x -> warp to min_x
+    assert warps == [(0.0, 50)]
+    want = cam0.rotate((15.0, 0.0))     # rotation BEFORE the warp applies
+    np.testing.assert_allclose(np.asarray(st.camera.orientation),
+                               np.asarray(want.orientation), atol=1e-6)
+
+    # the synthetic "cursor jumped to the warped position" motion event
+    # must not rotate (did_warp / ResetMouseDragDelta semantics)
+    assert not st.drag(0, 50)
+    # and dragging onward from the warped edge rotates normally
+    assert st.drag(20, 50)
+    want = want.rotate((20.0, 0.0))
+    np.testing.assert_allclose(np.asarray(st.camera.orientation),
+                               np.asarray(want.orientation), atol=1e-6)
+
+    # y wrap at the min edge warps to max
+    st.press(50, 5)
+    assert st.drag(50, -10)
+    assert warps[-1] == (50, 100.0)

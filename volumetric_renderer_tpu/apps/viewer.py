@@ -29,13 +29,21 @@ class ViewerState:
     """Camera + renderer state machine, UI-toolkit-agnostic (testable
     headless: feed it synthetic drag/scroll events)."""
 
-    def __init__(self, render_frame, camera, background=(0.11, 0.11, 0.11)):
+    def __init__(self, render_frame, camera, background=(0.11, 0.11, 0.11),
+                 wrap_bounds=None, warp_cursor=None):
         self.render_frame = render_frame   # camera -> (H, W, 3) uint8-able
         self.camera = camera
         self._camera0 = camera
         self.background = background
         self.last_rays_per_s = 0.0
         self._drag_from = None
+        # cursor wrap-around at viewport edges so a drag can orbit
+        # indefinitely (main_window.cpp:267-315, SDL_WarpMouseInWindow):
+        # wrap_bounds = ((min_x, min_y), (max_x, max_y)); warp_cursor is
+        # the UI-toolkit hook that actually moves the OS cursor
+        self.wrap_bounds = wrap_bounds
+        self.warp_cursor = warp_cursor
+        self._ignore_next = False  # "ignore mouse motion after warp"
 
     def frame(self):
         t0 = time.perf_counter()
@@ -52,8 +60,19 @@ class ViewerState:
         self._drag_from = None
 
     def drag(self, x, y):
-        """Returns True when the camera changed (a re-render is due)."""
+        """Returns True when the camera changed (a re-render is due).
+
+        Reproduces the reference's edge behavior
+        (``main_window.cpp:267-315``): the rotation applies first, then a
+        cursor that left the viewport warps to the opposite edge and the
+        *next* motion event is ignored (its delta would be the warp jump).
+        """
         if self._drag_from is None:
+            return False
+        if self._ignore_next:
+            # "Ignore mouse motion after warp" + ResetMouseDragDelta
+            self._ignore_next = False
+            self._drag_from = (x, y)
             return False
         dx = x - self._drag_from[0]
         dy = y - self._drag_from[1]
@@ -64,6 +83,18 @@ class ViewerState:
         # itself (yaw about world Z, pitch about camera right,
         # camera.cpp:15-29)
         self.camera = self.camera.rotate((dx, dy))
+        if self.wrap_bounds is not None:
+            (min_x, min_y), (max_x, max_y) = self.wrap_bounds
+            wx, wy = x, y
+            if x < min_x or x > max_x:
+                wx = max_x if x < min_x else min_x
+            if y < min_y or y > max_y:
+                wy = max_y if y < min_y else min_y
+            if (wx, wy) != (x, y):
+                self._drag_from = (wx, wy)
+                self._ignore_next = True
+                if self.warp_cursor is not None:
+                    self.warp_cursor(wx, wy)
         return True
 
     def scroll(self, steps):
@@ -120,7 +151,9 @@ def main(argv=None):
 
     state = ViewerState(render_frame,
                         OrbitCamera.from_angles(yaw_deg=30.0,
-                                                pitch_deg=20.0))
+                                                pitch_deg=20.0),
+                        # event coords below are (ev.x, -ev.y)
+                        wrap_bounds=((0.0, -float(h)), (float(w), 0.0)))
 
     fig, axim = plt.subplots(figsize=(w / 100, h / 100))
     axim.set_axis_off()
