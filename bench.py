@@ -165,11 +165,13 @@ def main():
                          "scale: the 512 MiB grid streams through VMEM "
                          "in z-slabs)")
     ap.add_argument("--bwd-mode", default="high",
-                    choices=["exact", "high", "fast"],
+                    choices=["exact", "high", "train", "fast"],
                     help="backward matmul precision (with --grad): "
                          "exact=bf16x6, high=density-exact + bf16x3 "
-                         "gradient matmuls (parity 5.8e-5), fast=bf16 "
-                         "(training only, ~7e-2)")
+                         "gradient matmuls (parity 5.8e-5), train="
+                         "density bf16x3 + bf16 gradient matmuls "
+                         "(parity ~7e-3, SGD-noise-level, -28% step "
+                         "time), fast=bf16 (~7e-2)")
     ap.add_argument("--ray-chunks", type=int, default=0,
                     help="with --grad: split the image into K row bands "
                          "per training step (gradient accumulation; 0 = "

@@ -64,8 +64,19 @@ def main():
     gv, gt = grads(mode)
     ev = float(jnp.abs(gv - gv_ref).max() / jnp.abs(gv_ref).max())
     et = float(jnp.abs(gt - gt_ref).max() / jnp.abs(gt_ref).max())
+    # distribution of the error, for modes past the 1e-4 max-norm gate:
+    # SGD cares about the bulk, a max-norm outlier at one voxel does not
+    # characterize training behavior
+    dv = jnp.abs(gv - gv_ref).ravel()
+    scale = jnp.abs(gv_ref).max()
+    mean_rel = float(dv.mean() / (jnp.abs(gv_ref).mean() + 1e-30))
+    p999 = float(jnp.quantile(dv, 0.999) / scale)
+    cos = float((gv.ravel() @ gv_ref.ravel())
+                / (jnp.linalg.norm(gv) * jnp.linalg.norm(gv_ref) + 1e-30))
     print(f"knobs={knobs or '(none)'} mode={mode}: "
-          f"vol grad rel err {ev:.2e}, tf grad rel err {et:.2e}")
+          f"vol grad rel err {ev:.2e} (mean {mean_rel:.2e}, "
+          f"p99.9 {p999:.2e}, cosine {cos:.6f}), "
+          f"tf grad rel err {et:.2e}")
     ok = ev < 1e-4 and et < 1e-4
     print("PARITY-OK" if ok else "PARITY-FAIL")
     return 0 if ok else 1

@@ -527,6 +527,7 @@ _BWD_VMEM_LIMIT = int(_os.environ.get("VRT_BWD_VMEM_LIMIT_MB", "100")) * 2 ** 20
 # HIGHEST's six passes at ~1e-6 relative error (hardware-measured in
 # docs/PARITY.md).
 _X3 = "bf16x3"
+_X4 = "bf16x4"   # + the lo@lo term: ~6e-8 relative, 4 passes
 _PRECISIONS = {
     "exact": jax.lax.Precision.HIGHEST,   # bf16x6: reproduces f32
     "high": _X3,                          # manual bf16x3: ~1e-6, ~2x faster
@@ -547,8 +548,8 @@ def _split_bf16(x):
 
 
 def _pdot(a, b, precision):
-    """jnp.dot honoring the manual-bf16x3 sentinel."""
-    if precision is not _X3:
+    """jnp.dot honoring the manual-bf16x3/x4 sentinels."""
+    if precision is not _X3 and precision is not _X4:
         return jnp.dot(a, b, precision=precision,
                        preferred_element_type=jnp.float32)
     ah, al = _split_bf16(a)
@@ -558,12 +559,15 @@ def _pdot(a, b, precision):
         return jnp.dot(x, y, precision=jax.lax.Precision.DEFAULT,
                        preferred_element_type=jnp.float32)
 
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    out = d(ah, bh) + (d(ah, bl) + d(al, bh))
+    if precision is _X4:
+        out = out + d(al, bl)
+    return out
 
 
 def _pdotg(a, b, dims, precision):
-    """lax.dot_general honoring the manual-bf16x3 sentinel."""
-    if precision is not _X3:
+    """lax.dot_general honoring the manual-bf16x3/x4 sentinels."""
+    if precision is not _X3 and precision is not _X4:
         return jax.lax.dot_general(a, b, dims, precision=precision,
                                    preferred_element_type=jnp.float32)
     ah, al = _split_bf16(a)
@@ -574,7 +578,10 @@ def _pdotg(a, b, dims, precision):
                                    precision=jax.lax.Precision.DEFAULT,
                                    preferred_element_type=jnp.float32)
 
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    out = d(ah, bh) + (d(ah, bl) + d(al, bh))
+    if precision is _X4:
+        out = out + d(al, bl)
+    return out
 
 
 def _make_levels(rows, nb_dim, nc_dim):
@@ -846,7 +853,7 @@ def make_slab_renderer(num_steps: int, step_size: float,
     return forward
 
 
-_PREC_NAMES = {"highest": jax.lax.Precision.HIGHEST, "x3": _X3,
+_PREC_NAMES = {"highest": jax.lax.Precision.HIGHEST, "x3": _X3, "x4": _X4,
                "fast": jax.lax.Precision.DEFAULT}
 
 
@@ -1342,12 +1349,24 @@ def make_slab_bwd(num_steps: int, step_size: float,
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
-    precision = _PRECISIONS[mode]
-    # density recompute + re-composited opacity must reproduce the exact
-    # forward bit-for-bit in every mode except "fast": approximate
-    # densities flip TF-bin indices (see _make_bwd_kernel docstring)
-    density_precision = (jax.lax.Precision.HIGHEST if mode != "fast"
-                         else jax.lax.Precision.DEFAULT)
+    # Precision recipes, hardware-measured on v5e (r05 cost/parity sweep,
+    # /tmp/bwd_cost_sweep.log + scripts/check_bwd_prec_parity.py):
+    #   exact: density+grads HIGHEST             (parity 1.7e-5)
+    #   high:  density HIGHEST, grads bf16x3     (parity 5.8e-5) <- default
+    #   train: density bf16x3, grads bf16        (parity ~7e-3, -28% step
+    #          time: SGD-noise-level error, for throughput-bound training)
+    #   fast:  everything bf16                   (parity 7.2e-2)
+    # The <1e-4 gate pins the density recompute at HIGHEST: TF-bin flips
+    # dominate (x3 AND x4 both land at 7.19e-3 vol-grad err — the
+    # residual is the MXU's bf16 truncation of the lo split operand, so
+    # only the 3-way 6-pass split is f32-exact).
+    if mode == "train":
+        precision = jax.lax.Precision.DEFAULT
+        density_precision = _X3
+    else:
+        precision = _PRECISIONS[mode]
+        density_precision = (jax.lax.Precision.HIGHEST if mode != "fast"
+                             else jax.lax.Precision.DEFAULT)
     kernel = _make_bwd_kernel(thick=thick, nb=nb_dim, nc=nc_dim, ntf=ntf,
                               levels=levels, precision=precision,
                               density_precision=density_precision,
