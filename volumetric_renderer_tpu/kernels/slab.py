@@ -1353,8 +1353,9 @@ def make_slab_bwd(num_steps: int, step_size: float,
     # /tmp/bwd_cost_sweep.log + scripts/check_bwd_prec_parity.py):
     #   exact: density+grads HIGHEST             (parity 1.7e-5)
     #   high:  density HIGHEST, grads bf16x3     (parity 5.8e-5) <- default
-    #   train: density bf16x3, grads bf16        (parity ~7e-3, -28% step
-    #          time: SGD-noise-level error, for throughput-bound training)
+    #   train: density bf16x3, grads bf16        (-28% step time; vol-grad
+    #          cosine 0.996 vs exact, mean rel err 4e-2, max 5e-1 at
+    #          bin-flip voxels: for throughput-bound training only)
     #   fast:  everything bf16                   (parity 7.2e-2)
     # The <1e-4 gate pins the density recompute at HIGHEST: TF-bin flips
     # dominate (x3 AND x4 both land at 7.19e-3 vol-grad err — the
