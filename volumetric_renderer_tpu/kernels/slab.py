@@ -55,8 +55,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volumetric_renderer_tpu.core.fused import ALPHA_EPS
 
-TILE_H = 16
-TILE_W = 16
+import os as _os_tile
+
+TILE_H = int(_os_tile.environ.get("VRT_TILE_H", "16"))
+TILE_W = int(_os_tile.environ.get("VRT_TILE_W", "16"))
 P = TILE_H * TILE_W
 
 # axis -> permutation of volume axes (Z, Y, X) so the dominant axis leads.
@@ -503,6 +505,11 @@ def _choose_thick(a_dim, b_dim, c_dim, vmem_budget=None, min_rows=None):
     per_row = b_dim * c_dim * 4
     rows = max(3, min_rows, vmem_budget // (2 * per_row))
     thick = min(a_dim, rows - 1)
+    # test-only clamp to force multi-slab decompositions at small grids
+    # (hardware parity checks of the cross-slab state carry)
+    force = _os.environ.get("VRT_MAX_THICK")
+    if force:
+        thick = min(thick, int(force))
     return int(thick)
 
 
@@ -605,6 +612,22 @@ def _make_levels(rows, nb_dim, nc_dim):
         if nc_dim > 128:
             levels.append((min(8, rows), 48, 128))
         levels.append((min(8, rows), 48, nc_dim))
+    # Wide late-ray levels for large faces: a tile's conservative b/c
+    # windows grow ~linearly in k (ray-direction spread x step count x
+    # grid size), so at >=256^3 the late steps of oblique tiles overflow
+    # the 48-row window and — without these — fall all the way to the
+    # full-face per-row-matmul path (measured at 512^3: the backward's
+    # dominant cost).  (rows, 96, cw) costs (BP/128)*(rows*96/128)*(cw/128)
+    # MXU units vs the full-face's rows*(BP/128)*(nb/128)*(nc/128) — ~10x
+    # cheaper at 512^3.
+    if nb_dim >= 128 and rows > 8:
+        if nc_dim > 128:
+            levels.append((rows, 96, 128))
+        if nc_dim > 256:
+            levels.append((rows, 96, 256))
+        levels.append((rows, 96, nc_dim))
+    if nb_dim >= 384 and rows > 8:
+        levels.append((rows, 224, nc_dim))
     levels.append((rows, nb_dim, nc_dim))
     return tuple(levels)
 
@@ -812,6 +835,12 @@ def make_slab_renderer(num_steps: int, step_size: float,
                                         vma=vma),
                    jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32,
                                         vma=vma)),
+        # State carries across slabs through these aliases on revisited
+        # blocks.  CAVEAT: Pallas interpret mode does not honor aliasing
+        # for revisited blocks (each slab would read the original state),
+        # so interpret-mode runs are only correct single-slab; multi-slab
+        # correctness is gated on hardware by
+        # scripts/check_multislab_parity.py (maxerr 2e-6 at n_slab 4-8).
         input_output_aliases={6: 0, 2: 1},
         interpret=interpret,
         # large-volume slabs (512^3: 1 MiB/row) need more than the 16 MiB
