@@ -23,6 +23,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["VRT_MAX_THICK"] = os.environ.get("VRT_MAX_THICK", "16")
+# build the wide late-ray window levels at the 128-face cases below
+# (production gates them to faces >= 384)
+os.environ.setdefault("VRT_WIDE_LEVELS_MIN_NB", "128")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax_compcache")
 

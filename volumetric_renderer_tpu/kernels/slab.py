@@ -612,22 +612,27 @@ def _make_levels(rows, nb_dim, nc_dim):
         if nc_dim > 128:
             levels.append((min(8, rows), 48, 128))
         levels.append((min(8, rows), 48, nc_dim))
-    # Wide late-ray levels for large faces: a tile's conservative b/c
+    # Wide late-ray levels for LARGE faces: a tile's conservative b/c
     # windows grow ~linearly in k (ray-direction spread x step count x
-    # grid size), so at >=256^3 the late steps of oblique tiles overflow
+    # grid size), so at 512^3 the late steps of oblique tiles overflow
     # the 48-row window and — without these — fall all the way to the
-    # full-face per-row-matmul path (measured at 512^3: the backward's
-    # dominant cost).  (rows, 96, cw) costs (BP/128)*(rows*96/128)*(cw/128)
-    # MXU units vs the full-face's rows*(BP/128)*(nb/128)*(nc/128) — ~10x
-    # cheaper at 512^3.
-    if nb_dim >= 128 and rows > 8:
+    # full-face per-row-matmul path.  (rows, 96, cw) costs
+    # (BP/128)*(rows*96/128)*(cw/128) MXU units vs the full-face's
+    # rows*(BP/128)*(nb/128)*(nc/128) — hardware-measured 1.95x on the
+    # whole 512^3 forward (6,212.6 -> 3,180 ms).  At 256^3 the extra
+    # fits() checks and switch branches cost 3.8% and full-face is only
+    # moderately bigger, so the guard keeps them off below 384 faces
+    # (VRT_WIDE_LEVELS_MIN_NB overrides for the hardware parity gate,
+    # scripts/check_multislab_parity.py).
+    wide_min = int(_os.environ.get("VRT_WIDE_LEVELS_MIN_NB", "384"))
+    if nb_dim >= wide_min and rows > 8:
         if nc_dim > 128:
             levels.append((rows, 96, 128))
         if nc_dim > 256:
             levels.append((rows, 96, 256))
         levels.append((rows, 96, nc_dim))
-    if nb_dim >= 384 and rows > 8:
-        levels.append((rows, 224, nc_dim))
+        if nb_dim >= 384:
+            levels.append((rows, 224, nc_dim))
     levels.append((rows, nb_dim, nc_dim))
     return tuple(levels)
 
