@@ -247,6 +247,26 @@ def test_gradients_match_oracle(scene, bwd, bwd_mode):
                                atol=1e-4, rtol=1e-5)
 
 
+def test_make_levels_structure():
+    """Window-level ladder: cheapest first, the last never misses, and
+    the wide late-ray levels appear only at large faces (the 384-face
+    production gate; hardware-measured 1.95x at 512^3, -3.8% at 256^3)."""
+    from volumetric_renderer_tpu.kernels.slab import _make_levels
+
+    lv512 = _make_levels(12, 512, 512)
+    assert lv512[-1] == (12, 512, 512)
+    assert (12, 96, 128) in lv512 and (12, 224, 512) in lv512
+
+    lv256 = _make_levels(18, 256, 256)
+    assert lv256[-1] == (18, 256, 256)
+    assert all(yw <= 48 for (_, yw, _) in lv256[:-1])  # no wide levels
+
+    for lv in (lv512, lv256, _make_levels(72, 128, 128)):
+        zw, yw, cw = lv[-1]
+        for (z, y, c) in lv:
+            assert z <= zw and y <= yw and c <= cw
+
+
 def test_gradient_parity_fast():
     """One cheap gradient-parity case kept in the fast suite so a
     `-m 'not slow'` run still guards the production custom VJP (the

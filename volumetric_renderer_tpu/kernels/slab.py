@@ -591,7 +591,7 @@ def _pdotg(a, b, dims, precision):
     return out
 
 
-def _make_levels(rows, nb_dim, nc_dim):
+def _make_levels(rows, nb_dim, nc_dim, wide_min=None):
     """Window levels (zw, yw, cw), cheapest first; the last never misses.
 
     The windowed levels run the merged single-matmul path with K = zw*yw
@@ -619,12 +619,17 @@ def _make_levels(rows, nb_dim, nc_dim):
     # full-face per-row-matmul path.  (rows, 96, cw) costs
     # (BP/128)*(rows*96/128)*(cw/128) MXU units vs the full-face's
     # rows*(BP/128)*(nb/128)*(nc/128) — hardware-measured 1.95x on the
-    # whole 512^3 forward (6,212.6 -> 3,180 ms).  At 256^3 the extra
-    # fits() checks and switch branches cost 3.8% and full-face is only
-    # moderately bigger, so the guard keeps them off below 384 faces
-    # (VRT_WIDE_LEVELS_MIN_NB overrides for the hardware parity gate,
-    # scripts/check_multislab_parity.py).
-    wide_min = int(_os.environ.get("VRT_WIDE_LEVELS_MIN_NB", "384"))
+    # whole 512^3 forward (6,212.6 -> 3,180 ms) and -22% on the 256^3
+    # backward (whose HIGHEST 6-pass density matmuls amplify window
+    # size).  In the 256^3 forward the extra fits() checks cost 3.8% and
+    # full-face is only moderately bigger, so the forward keeps the
+    # default 384-face gate while the backward passes wide_min=256
+    # (VRT_WIDE_LEVELS_MIN_NB overrides both for the hardware parity
+    # gate, scripts/check_multislab_parity.py).
+    if wide_min is None:
+        wide_min = 384
+    wide_min = int(_os.environ.get("VRT_WIDE_LEVELS_MIN_NB",
+                                   str(wide_min)))
     if nb_dim >= wide_min and rows > 8:
         if nc_dim > 128:
             levels.append((rows, 96, 128))
@@ -1379,7 +1384,7 @@ def make_slab_bwd(num_steps: int, step_size: float,
     thick = min(thick, int(max_rows) - 1)
     n_slab = -(-body // thick)
     rows = thick + 1
-    levels = _make_levels(rows, nb_dim, nc_dim)
+    levels = _make_levels(rows, nb_dim, nc_dim, wide_min=256)
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
     comp_a, comp_b, comp_c = (2 - perm[0], 2 - perm[1], 2 - perm[2])
