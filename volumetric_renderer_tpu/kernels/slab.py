@@ -792,6 +792,11 @@ def make_slab_renderer(num_steps: int, step_size: float,
     thick = _choose_thick(body, nb_dim, nc_dim)
     n_slab = -(-body // thick)
     rows = thick + 1
+    # NOTE: the backward enables wide levels from 256 faces (its HIGHEST
+    # density matmuls amplify window size); the forward measured WORSE
+    # with them at 256^3 in BOTH modes (fast -3.8%, exact -18% — the
+    # fwd's thicker slabs (rows 18 vs 12) make the wide levels' K=zw*yw
+    # dimension much larger), so it keeps the default 384-face gate.
     levels = _make_levels(rows, nb_dim, nc_dim)
 
     _pack_tiles, _unpack_tiles, n_tiles = _make_tilers(height, width)
