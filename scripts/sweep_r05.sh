@@ -2,6 +2,11 @@
 # Round-5 evidence chain. Crash-proof: every artifact is committed the
 # moment its run finishes (round 4 lost 5 of 6 artifacts to a timeout),
 # ordered most-important-first.
+#
+# RECORD: round 5 ran these steps interactively instead, committing each
+# artifact as it landed (BENCH_512_GRAD_r05, BENCH_r05_preview,
+# BENCH_GRAD_r05, ABLATION_r05, SCALING_r05 — see git log); this script
+# remains the one-shot reproduction path.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/sweep_r05.log
